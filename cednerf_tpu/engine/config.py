@@ -1,0 +1,195 @@
+"""Per-dataset training/rendering presets + model flags.
+
+Declarative replacement for the reference's per-dataset config code blocks
+(train_real.py:86-182) and the shared CLI flags (opt.py:5-87). Values are
+kept identical to the reference so convergence/parity comparisons are
+meaningful; TPU-specific additions (sample budgets, marching caps, bucketed
+batch shapes) are documented inline.
+"""
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFlags:
+    """The opt.py model/loss flags (opt.py:5-87)."""
+
+    use_div_offsets: bool = False      # -df
+    use_feat_predict: bool = False     # -f
+    use_weight_predict: bool = False   # -w
+    use_time_embedding: bool = False   # -te
+    use_time_attenuation: bool = False # -ta
+    use_opacity_loss: bool = False     # -o
+    distortion_loss: bool = False      # -d
+    weight_rgbper: bool = False        # -wr
+    acc_entropy_loss: bool = False     # -ae  (reference spells it 'entorpy')
+    hash4motion: bool = False
+    time_inject_before_sigma: bool = True
+    grid_type: str = "hash3d"
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Everything static about a training run (shapes, schedules, scene box)."""
+
+    family: str                         # 'dnerf' | 'hypernerf' | 'dynerf'
+    max_steps: int
+    target_sample_batch_size: int       # valid-sample budget per step
+    aabb: Tuple[float, ...]
+    near_plane: float
+    far_plane: float
+    moving_step: float
+    hash_dst_resolution: int
+    grid_resolution: int
+    grid_nlvl: int
+    render_step_size: float
+    alpha_thre: float
+    cone_angle: float
+    milestones: Tuple[int, ...]
+    lr: float = 1e-2
+    log2_hashmap_size: int = 21         # train_real.py:262
+    init_batch_size: int = 1024
+    # TPU additions -----------------------------------------------------
+    max_march_steps: int = 1024         # candidate steps per ray during marching
+    occ_update_interval: int = 16       # nerfacc update_every_n_steps default
+    occ_warmup_steps: int = 256
+    occ_thre: float = 1e-2
+    occ_ema_decay: float = 0.95
+    train_bkgd_aug: str = "white"
+    test_bkgd_aug: str = "white"
+    dataset_factor: int = 1
+    add_cam: bool = False
+    eval_s_max: int = 256               # per-ray sample cap for eval rendering
+    eval_chunk: int = 4096              # rays per eval chunk
+
+    @property
+    def slot_budget(self) -> int:
+        """Padded sample-slot budget per train step.
+
+        2x the reference's valid-sample target so that at ~50% buffer
+        utilization the *realized* sample count matches the reference's
+        dynamic-batching target (train_real.py:354-360).
+        """
+        return 2 * self.target_sample_batch_size
+
+    def buckets(self) -> Tuple[Tuple[int, int], ...]:
+        """(n_rays, s_max) shape buckets, all with n_rays * s_max == slot_budget.
+
+        The TPU replacement for per-step dynamic ray-batch resizing: the host
+        picks the bucket whose per-ray cap s_max ~= 2x the measured mean
+        samples/ray, bounding recompilation to a handful of cached shapes.
+        """
+        out = []
+        s_max = 1024
+        while s_max >= 16:
+            n_rays = self.slot_budget // s_max
+            if n_rays >= 256:
+                out.append((n_rays, s_max))
+            s_max //= 2
+        return tuple(out)
+
+    def pick_bucket(self, mean_samples_per_ray: float) -> Tuple[int, int]:
+        """Bucket whose s_max is the smallest power of two >= 2x the mean."""
+        desired = max(mean_samples_per_ray, 1.0) * 2.0
+        for n_rays, s_max in reversed(self.buckets()):  # ascending s_max
+            if s_max >= desired:
+                return (n_rays, s_max)
+        return self.buckets()[0]  # largest s_max
+
+
+def _milestones(max_steps: int, extra_56: bool = False) -> Tuple[int, ...]:
+    ms = [max_steps // 2, max_steps * 3 // 4]
+    if extra_56:
+        ms.append(max_steps * 5 // 6)
+    ms.append(max_steps * 9 // 10)
+    return tuple(ms)
+
+
+def dnerf_config(max_steps: int = 20000) -> SceneConfig:
+    """D-NeRF synthetic preset (train_real.py:86-117)."""
+    return SceneConfig(
+        family="dnerf",
+        max_steps=max_steps,
+        target_sample_batch_size=1 << 18,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        near_plane=0.0,
+        far_plane=1e10,
+        moving_step=1e-4,
+        hash_dst_resolution=1024,
+        grid_resolution=128,
+        grid_nlvl=1,
+        render_step_size=5e-3,
+        alpha_thre=0.0,
+        cone_angle=0.0,
+        milestones=_milestones(max_steps),
+        # aabb diagonal 3*sqrt(3) / 5e-3 ~= 1040 uniform steps
+        max_march_steps=1024,
+        train_bkgd_aug="white",
+        test_bkgd_aug="white",
+    )
+
+
+def hypernerf_config(scene: str, max_steps: int = 20000) -> SceneConfig:
+    """HyperNeRF real-capture preset (train_real.py:119-149)."""
+    return SceneConfig(
+        family="hypernerf",
+        max_steps=max_steps,
+        target_sample_batch_size=1 << 18,
+        aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+        near_plane=0.2,
+        far_plane=1e10,
+        moving_step=1.0 / 4096,
+        hash_dst_resolution=4096,
+        grid_resolution=128,
+        grid_nlvl=2,
+        render_step_size=1e-3,
+        alpha_thre=1e-2,
+        cone_angle=0.004,
+        milestones=_milestones(max_steps),
+        max_march_steps=1024,
+        train_bkgd_aug="black",
+        test_bkgd_aug="black",
+        dataset_factor=2,
+        add_cam="vrig" in scene,
+    )
+
+
+def dynerf_config(max_steps: int = 40000) -> SceneConfig:
+    """DyNeRF multi-camera video preset (train_real.py:151-182)."""
+    grid_nlvl = 4
+    return SceneConfig(
+        family="dynerf",
+        max_steps=max_steps,
+        target_sample_batch_size=1 << 20,
+        aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+        near_plane=0.2,
+        far_plane=1e10,
+        moving_step=1.0 / (2048 * grid_nlvl),
+        hash_dst_resolution=2048 * grid_nlvl,
+        grid_resolution=128,
+        grid_nlvl=grid_nlvl,
+        render_step_size=1e-3,
+        alpha_thre=1e-2,
+        cone_angle=0.004,
+        milestones=_milestones(max_steps, extra_56=True),
+        # outer level aabb is +-8; geometric step growth bounds the count
+        max_march_steps=1536,
+        train_bkgd_aug="random",
+        test_bkgd_aug="black",
+        dataset_factor=4,
+    )
+
+
+def config_for_scene(scene: str, max_steps: Optional[int] = None) -> SceneConfig:
+    """Scene-name -> preset dispatch (train_real.py:86,119,151)."""
+    from ..datasets import DNERF_SYNTHETIC_SCENES, DYNERF_SCENES, HYPERNERF_SCENES
+
+    if scene in DNERF_SYNTHETIC_SCENES:
+        return dnerf_config(max_steps or 20000)
+    if scene in HYPERNERF_SCENES:
+        return hypernerf_config(scene, max_steps or 20000)
+    if scene in DYNERF_SCENES:
+        return dynerf_config(max_steps or 40000)
+    raise ValueError(f"unknown scene: {scene}")

@@ -1,0 +1,54 @@
+"""Training losses over padded ray/sample batches.
+
+Replaces the reference's loss assembly (train_real.py:369-409) and the CUDA
+`torch_efficient_distloss.flatten_eff_distloss` (cednerf/losses.py:4-11,
+SURVEY §2b N7) with closed-form masked reductions along the dense sample axis.
+"""
+
+import jax.numpy as jnp
+
+from ..utils.math import exclusive_cumsum
+
+
+def distortion_loss(weights, t_starts, t_ends, mask=None):
+    """Mip-NeRF 360 distortion loss, O(N) prefix-sum form, mean over rays.
+
+    L(ray) = 2 * sum_i w_i (m_i * sum_{j<i} w_j - sum_{j<i} w_j m_j)
+             + 1/3 * sum_i w_i^2 (t1_i - t0_i)
+    which equals sum_{ij} w_i w_j |m_i - m_j| + 1/3 sum_i w_i^2 dt_i for
+    samples sorted by t (they are, per ray). Matches flatten_eff_distloss's
+    normalization: mean of per-ray sums.
+    """
+    if mask is not None:
+        weights = weights * mask
+    mid = (t_starts + t_ends) / 2.0
+    interval = t_ends - t_starts
+    wm = weights * mid
+    w_prefix = exclusive_cumsum(weights, axis=-1)
+    wm_prefix = exclusive_cumsum(wm, axis=-1)
+    loss_bi = 2.0 * jnp.sum(weights * (mid * w_prefix - wm_prefix), axis=-1)
+    loss_uni = (1.0 / 3.0) * jnp.sum(weights ** 2 * interval, axis=-1)
+    return jnp.mean(loss_bi + loss_uni)
+
+
+def opacity_loss(opacities, eps: float = 1e-6):
+    """-acc * log(acc), mean (train_real.py:374). Clamped for log stability
+    (the reference NaNs at acc == 0; we don't reproduce that)."""
+    acc = jnp.clip(opacities, eps, 1.0)
+    return jnp.mean(-acc * jnp.log(acc))
+
+
+def acc_entropy_loss(opacities, eps: float = 1e-6):
+    """Binary entropy of the residual transmittance (train_real.py:388-392)."""
+    t_last = jnp.clip(1.0 - opacities, eps, 1.0 - eps)
+    return -jnp.mean(t_last * jnp.log(t_last) + (1.0 - t_last) * jnp.log(1.0 - t_last))
+
+
+def rgbper_loss(rgbs, pixels, weights, mask):
+    """Per-sample color-to-pixel penalty (train_real.py:394-396).
+
+    rgbs: [R, S, 3]; pixels: [R, 3]; weights detached upstream.
+    sum_i ||rgb_i - pixel||^2 * w_i / n_rays.
+    """
+    per = jnp.sum((rgbs - pixels[:, None, :]) ** 2, axis=-1)
+    return jnp.sum(per * weights * mask) / pixels.shape[0]
