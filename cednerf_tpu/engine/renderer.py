@@ -1,0 +1,179 @@
+"""Rendering orchestration over padded ray batches.
+
+TPU-native replacement for the reference's `render_image` (train path,
+cednerf/utils.py:46-150) and `render_image_test` (inference path,
+cednerf/utils.py:153-318). One field query evaluates all padded sample slots;
+the alive-ray early-termination loop of the CUDA inference path becomes a
+single dense pass over occupancy-compacted samples (most of what early
+termination saves is already removed by the occupancy mask + per-ray cap).
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.occupancy import OccGridState, RaySamples, march_rays
+from ..ops.render import composite, reduce_along_rays, render_weights_from_density
+from .config import SceneConfig
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray        # [R, 3]
+    opacity: jnp.ndarray    # [R, 1]
+    depth: jnp.ndarray      # [R, 1]
+    n_samples: jnp.ndarray  # scalar: valid rendered samples
+    extras: dict
+
+
+def render_rays(
+    field,
+    params,
+    origins,
+    viewdirs,
+    samples: RaySamples,
+    timestamps,
+    render_bkgd,
+    occ_mean: Optional[jnp.ndarray] = None,
+    *,
+    alpha_thre: float = 0.0,
+    train: bool = False,
+) -> RenderResult:
+    """Evaluate the field on padded samples and composite along rays.
+
+    Args:
+      origins/viewdirs: [R, 3]; samples: padded [R, S] intervals + mask.
+      timestamps: [R, 1] per-ray times (train) or broadcastable scalar (eval).
+      occ_mean: mean occupancy value — during training nerfacc clamps the
+        alpha-pruning threshold by it (OccGridEstimator.sampling semantics).
+    """
+    r, s = samples.t_starts.shape
+    t_mid = (samples.t_starts + samples.t_ends) / 2.0
+    pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]  # [R,S,3]
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3))
+    t = jnp.broadcast_to(jnp.reshape(timestamps, (-1, 1, 1)), (r, s, 1))
+
+    rgbs, sigma_results = field.apply(
+        params,
+        pos.reshape(-1, 3),
+        t.reshape(-1, 1),
+        dirs.reshape(-1, 3),
+        return_internal=train,
+    )
+    rgbs = rgbs.reshape(r, s, 3)
+    sigmas = sigma_results["density"].reshape(r, s).astype(jnp.float32)
+
+    mask = samples.mask
+    if alpha_thre > 0:
+        # nerfacc prunes samples whose standalone alpha <= alpha_thre before
+        # the transmittance scan (cednerf/utils.py:115-125 via
+        # estimator.sampling); the threshold is clamped by the mean occupancy.
+        thre = alpha_thre if occ_mean is None else jnp.minimum(alpha_thre, occ_mean)
+        alpha_raw = 1.0 - jnp.exp(
+            -jax.lax.stop_gradient(sigmas) * (samples.t_ends - samples.t_starts)
+        )
+        mask = mask & (alpha_raw > thre)
+
+    weights, trans, alphas = render_weights_from_density(
+        samples.t_starts, samples.t_ends, sigmas, mask
+    )
+    rgb, opacity, depth = composite(
+        weights, rgbs, samples.t_starts, samples.t_ends, mask, render_bkgd
+    )
+
+    extras = {
+        "weights": weights,
+        "trans": trans,
+        "alphas": alphas,
+        "sigmas": sigmas,
+        "rgbs": rgbs,
+        "mask": mask,
+        "t_starts": samples.t_starts,
+        "t_ends": samples.t_ends,
+    }
+    if train and "internal" in sigma_results:
+        internal = sigma_results["internal"]
+        if "latent_losses" in internal:
+            # weight-scaled per-ray sums (cednerf/render.py:105-113)
+            latent = internal["latent_losses"].reshape(r, s, -1)
+            extras["latent_losses"] = reduce_along_rays(
+                latent, mask, weights=jax.lax.stop_gradient(weights), reduce="sum"
+            )
+        if "weight_losses" in internal:
+            # huber(predicted per-sample weight, transmittance) * selector,
+            # weight-scaled per-ray means (cednerf/render.py:114-124)
+            from ..models.field import huber
+
+            selector = internal["selector"].reshape(r, s)
+            p_weight = internal["weight_losses"].reshape(r, s).astype(jnp.float32)
+            wl = huber(p_weight, trans) * selector
+            extras["weight_losses"] = reduce_along_rays(
+                wl[..., None], mask, weights=weights, reduce="mean"
+            )
+
+    n_samples = jnp.sum(mask)
+    return RenderResult(rgb=rgb, opacity=opacity, depth=depth, n_samples=n_samples,
+                        extras=extras)
+
+
+def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None):
+    """Jitted chunk renderer for full-image evaluation.
+
+    Returns fn(params, occ_state, origins [C,3], viewdirs [C,3], timestamp
+    scalar, render_bkgd [3]) -> (rgb, opacity, depth) for a fixed chunk C.
+    """
+    s_max = s_max or cfg.eval_s_max
+
+    @jax.jit
+    def render_chunk(params, occ_state: OccGridState, origins, viewdirs, timestamp,
+                     render_bkgd):
+        samples = march_rays(
+            occ_state,
+            origins,
+            viewdirs,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            render_step_size=cfg.render_step_size,
+            cone_angle=cfg.cone_angle,
+            max_march_steps=cfg.max_march_steps,
+            s_max=s_max,
+        )
+        t = jnp.broadcast_to(jnp.reshape(timestamp, (1, 1)), (origins.shape[0], 1))
+        out = render_rays(
+            field, params, origins, viewdirs, samples, t, render_bkgd,
+            alpha_thre=cfg.alpha_thre, train=False,
+        )
+        return out.rgb, out.opacity, out.depth
+
+    return render_chunk
+
+
+def render_image(field, params, occ_state, render_chunk_fn, origins, viewdirs,
+                 timestamp, render_bkgd, chunk: int = 4096):
+    """Host loop: render a full [H, W] image through the jitted chunk fn.
+
+    Parity with render_image_test's output contract (rgb, opacity, depth)
+    (cednerf/utils.py:313-318); the last chunk is padded to keep one compile.
+    """
+    import numpy as np
+
+    shape = origins.shape[:-1]
+    o = np.asarray(origins, np.float32).reshape(-1, 3)
+    d = np.asarray(viewdirs, np.float32).reshape(-1, 3)
+    n = o.shape[0]
+    rgbs, opacs, depths = [], [], []
+    for i in range(0, n, chunk):
+        co, cd = o[i:i + chunk], d[i:i + chunk]
+        pad = chunk - co.shape[0]
+        if pad:
+            co = np.pad(co, ((0, pad), (0, 0)))
+            cd = np.pad(cd, ((0, pad), (0, 0)), constant_values=1.0)
+        rgb, opac, depth = render_chunk_fn(params, occ_state, jnp.asarray(co),
+                                           jnp.asarray(cd), timestamp, render_bkgd)
+        rgbs.append(np.asarray(rgb)[: chunk - pad if pad else chunk])
+        opacs.append(np.asarray(opac)[: chunk - pad if pad else chunk])
+        depths.append(np.asarray(depth)[: chunk - pad if pad else chunk])
+    rgb = np.concatenate(rgbs).reshape(*shape, 3)
+    opac = np.concatenate(opacs).reshape(*shape, 1)
+    depth = np.concatenate(depths).reshape(*shape, 1)
+    return rgb, opac, depth

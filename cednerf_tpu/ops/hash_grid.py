@@ -69,6 +69,8 @@ class HashGridSpec:
 
     @property
     def log_b(self) -> float:
+        if self.n_levels == 1:
+            return 0.0
         return math.log(self.max_res / self.base_res) / (self.n_levels - 1)
 
     @property

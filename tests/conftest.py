@@ -13,4 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize force-registers the 'axon' TPU platform and
+# overrides JAX_PLATFORMS; jax.config wins over both.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: the op tests compile many small programs; caching
+# makes repeated suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,86 @@
+"""A tiny procedural dynamic scene for integration tests: an opaque colored
+ball that drifts with time, rendered analytically by ray-sphere intersection.
+No dataset files needed; exposes the sampler protocol the Trainer expects."""
+
+import numpy as np
+
+from cednerf_tpu.datasets.rays import pinhole_rays, viewmatrix
+
+
+BALL_COLOR = np.array([0.9, 0.25, 0.1], np.float32)
+BG = np.array([1.0, 1.0, 1.0], np.float32)
+RADIUS = 0.5
+
+
+def ball_center(t):
+    return np.array([0.3 * (t - 0.5), 0.0, 0.0], np.float32)
+
+
+def render_gt(origins, viewdirs, t):
+    """Analytic opaque-sphere render: ball color where the ray hits, else bg."""
+    c = ball_center(t)
+    oc = origins - c
+    b = np.sum(oc * viewdirs, axis=-1)
+    disc = b ** 2 - (np.sum(oc * oc, axis=-1) - RADIUS ** 2)
+    hit = (disc > 0) & (-b - np.sqrt(np.maximum(disc, 0)) > 0)
+    return np.where(hit[:, None], BALL_COLOR, BG).astype(np.float32)
+
+
+class BallScene:
+    """Sampler protocol: sample(num_rays, key) + timestamps_pool + eval rays."""
+
+    def __init__(self, n_cams: int = 6, wh: int = 48, n_times: int = 4, seed: int = 0):
+        self.wh = wh
+        focal = wh * 1.1
+        self.K = np.array(
+            [[focal, 0, wh / 2], [0, focal, wh / 2], [0, 0, 1]], np.float32
+        )
+        self.c2ws = []
+        for i in range(n_cams):
+            th = 2 * np.pi * i / n_cams
+            pos = np.array([3.0 * np.cos(th), 3.0 * np.sin(th), 1.0], np.float32)
+            # OpenGL camera: -z looks at the origin -> z axis points away
+            self.c2ws.append(viewmatrix(pos, np.array([0.0, 0, 1]), pos))
+        self.c2ws = np.stack(self.c2ws).astype(np.float32)
+        self.times = np.linspace(0, 1, n_times).astype(np.float32)
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def timestamps_pool(self):
+        return self.times.reshape(-1, 1)
+
+    def sample(self, num_rays: int, key=None) -> dict:
+        rng = self._rng
+        cam = rng.integers(0, len(self.c2ws), num_rays)
+        ti = rng.integers(0, len(self.times), num_rays)
+        x = rng.integers(0, self.wh, num_rays).astype(np.float32)
+        y = rng.integers(0, self.wh, num_rays).astype(np.float32)
+        origins, viewdirs, _ = pinhole_rays(x, y, self.K, self.c2ws[cam], True)
+        t = self.times[ti]
+        pixels = np.empty((num_rays, 3), np.float32)
+        for k in range(len(self.times)):
+            m = ti == k
+            if m.any():
+                pixels[m] = render_gt(origins[m], viewdirs[m], self.times[k])
+        return {
+            "origins": origins,
+            "viewdirs": viewdirs,
+            "pixels": pixels,
+            "timestamps": t.reshape(-1, 1),
+            "color_bkgd": BG.copy(),
+        }
+
+    def image_rays(self, cam: int, t: float) -> dict:
+        x, y = np.meshgrid(np.arange(self.wh, dtype=np.float32),
+                           np.arange(self.wh, dtype=np.float32), indexing="xy")
+        x, y = x.reshape(-1), y.reshape(-1)
+        c2w = np.broadcast_to(self.c2ws[cam], (x.shape[0], 3, 4))
+        origins, viewdirs, _ = pinhole_rays(x, y, self.K, c2w, True)
+        pixels = render_gt(origins, viewdirs, t)
+        return {
+            "origins": origins.reshape(self.wh, self.wh, 3),
+            "viewdirs": viewdirs.reshape(self.wh, self.wh, 3),
+            "pixels": pixels.reshape(self.wh, self.wh, 3),
+            "timestamp": t,
+            "color_bkgd": BG.copy(),
+        }

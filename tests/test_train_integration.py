@@ -1,0 +1,147 @@
+"""End-to-end training integration tests on a tiny procedural dynamic scene:
+loss decreases, eval rendering works, checkpoints round-trip."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cednerf_tpu.engine.config import ModelFlags, SceneConfig, dnerf_config
+from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+from cednerf_tpu.engine.train import Trainer, make_lr_schedule
+from cednerf_tpu.models.field import DNGPRadianceField
+
+from synthetic_scene import BallScene
+
+
+def tiny_config(**kw) -> SceneConfig:
+    base = dnerf_config(max_steps=200)
+    over = dict(
+        target_sample_batch_size=4096,
+        grid_resolution=32,
+        render_step_size=2e-2,
+        max_march_steps=256,
+        occ_warmup_steps=32,
+        occ_update_interval=8,
+        eval_s_max=64,
+        eval_chunk=512,
+    )
+    over.update(kw)
+    return dataclasses.replace(base, **over)
+
+
+def tiny_field(cfg: SceneConfig, **kw) -> DNGPRadianceField:
+    defaults = dict(
+        aabb=cfg.aabb, n_levels=4, dst_resolution=64, base_resolution=8,
+        log2_hashmap_size=12, moving_step=cfg.moving_step,
+    )
+    defaults.update(kw)
+    return DNGPRadianceField(**defaults)
+
+
+def test_lr_schedule():
+    cfg = dnerf_config(max_steps=20000)
+    sched = make_lr_schedule(cfg)
+    np.testing.assert_allclose(float(sched(0)), 1e-2 * 0.01, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 1e-2, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(10000)), 1e-2 * 0.33, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(15000)), 1e-2 * 0.33 ** 2, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(19000)), 1e-2 * 0.33 ** 3, rtol=1e-5)
+
+
+def test_bucket_schedule():
+    cfg = dnerf_config()
+    buckets = cfg.buckets()
+    assert all(r * s == cfg.slot_budget for r, s in buckets)
+    assert buckets[0][1] == 1024
+    # mean 30 samples/ray -> want s_max >= 60 -> 64
+    assert cfg.pick_bucket(30.0)[1] == 64
+    assert cfg.pick_bucket(500.0)[1] == 1024
+    assert cfg.pick_bucket(0.5)[1] == 16
+
+
+def test_training_reduces_loss():
+    cfg = tiny_config()
+    scene = BallScene()
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=0)
+
+    first_losses, last_losses = [], []
+    for i in range(120):
+        m = trainer.run_step()
+        assert np.isfinite(m["loss"]), f"step {i}: {m}"
+        if i < 10:
+            first_losses.append(m["mse"])
+        if i >= 110:
+            last_losses.append(m["mse"])
+    assert np.mean(last_losses) < 0.5 * np.mean(first_losses), (
+        np.mean(first_losses), np.mean(last_losses))
+    # occupancy grid learned something but isn't fully on
+    frac = float(jnp.mean(trainer.state.occ.binaries.astype(jnp.float32)))
+    assert 0.0 < frac < 0.9
+
+
+def test_eval_render_after_training():
+    cfg = tiny_config()
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=1)
+    for _ in range(100):
+        trainer.run_step()
+
+    render_chunk = make_eval_render_fn(field, cfg)
+    data = scene.image_rays(0, 0.5)
+    rgb, opac, depth = render_image(
+        field, trainer.state.params, trainer.state.occ, render_chunk,
+        data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
+        jnp.asarray(data["color_bkgd"]), chunk=cfg.eval_chunk,
+    )
+    assert rgb.shape == (32, 32, 3)
+    assert np.isfinite(rgb).all() and np.isfinite(depth).all()
+    psnr = -10 * np.log10(np.mean((rgb - data["pixels"]) ** 2))
+    assert psnr > 12.0, psnr  # tiny run: just clearly better than noise
+
+
+def test_training_with_all_flags():
+    """The published flag combination -te -ta -f -ae -df -d (+ -w -o -wr)."""
+    cfg = tiny_config()
+    scene = BallScene(wh=32)
+    flags = ModelFlags(
+        use_div_offsets=True, use_feat_predict=True, use_weight_predict=True,
+        use_time_embedding=True, use_time_attenuation=True,
+        use_opacity_loss=True, distortion_loss=True, weight_rgbper=True,
+        acc_entropy_loss=True,
+    )
+    field = tiny_field(
+        cfg, use_div_offsets=True, use_feat_predict=True, use_weight_predict=True,
+        use_time_embedding=True, use_time_attenuation=True,
+    )
+    trainer = Trainer(field, cfg, flags, scene, seed=2)
+    for i in range(20):
+        m = trainer.run_step()
+        assert np.isfinite(m["loss"]), f"step {i}: {m}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cednerf_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from cednerf_tpu.engine.train import create_train_state
+
+    cfg = tiny_config()
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=3)
+    for _ in range(5):
+        trainer.run_step()
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, trainer.state, trainer.step)
+
+    fresh = create_train_state(field, cfg, jax.random.PRNGKey(99))
+    restored, step = load_checkpoint(path, fresh)
+    assert step == 5
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(restored.occ.binaries),
+                                  np.asarray(trainer.state.occ.binaries))
