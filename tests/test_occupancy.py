@@ -142,8 +142,9 @@ def test_finest_level_priority():
 
 def test_mark_invisible_cells():
     state = create_occ_grid([-1, -1, -1, 1, 1, 1], resolution=8, levels=1)
-    # one camera at z=-3 looking +z with a narrow fov
-    K = np.asarray([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+    # one camera at z=-3 looking +z with a narrow fov (half-angle ~9.5deg:
+    # sees |x| < ~0.35 at z=2, so corner cells fall outside the frustum)
+    K = np.asarray([[300.0, 0, 50], [0, 300.0, 50], [0, 0, 1]])
     c2w = np.asarray([[[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -3.0]]])
     state2 = mark_invisible_cells(state, K, c2w, width=100, height=100)
     occs = np.asarray(state2.occs)
