@@ -1,0 +1,74 @@
+"""End-to-end train-step throughput benchmark (runs on the real chip).
+
+Trains the flagship dynamic radiance field on a procedural dynamic scene (an
+opaque moving ball — no dataset files needed) with the D-NeRF preset shapes,
+then measures steady-state rendered samples/second through the full jitted
+train step (marching + field + volume rendering + all losses + Adam), with
+occupancy-grid updates on their normal 16-step cadence.
+
+Baseline (BASELINE.md): the CUDA reference sustains ~12M rendered samples/s
+end-to-end on HyperNeRF vrig_3dprinter (2^18 samples/step, 20k steps, 425 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 12e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from synthetic_scene import BallScene
+
+    from cednerf_tpu.engine.cli import build_field
+    from cednerf_tpu.engine.config import ModelFlags, dnerf_config
+    from cednerf_tpu.engine.train import Trainer
+
+    # Flagship flags (the published combination -te -ta -f -ae -df -d).
+    flags = ModelFlags(
+        use_div_offsets=True, use_feat_predict=True, use_time_embedding=True,
+        use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
+    )
+    cfg = dnerf_config(max_steps=100000)
+    field = build_field(cfg, flags)
+    scene = BallScene(n_cams=8, wh=128, n_times=8)
+
+    trainer = Trainer(field, cfg, flags, scene, seed=0)
+
+    # Warmup: let occupancy carve the scene + buckets settle + everything
+    # compile (a few bucket switches each trigger one compile).
+    warmup_steps = 300
+    for _ in range(warmup_steps):
+        trainer.run_step()
+
+    # Timed run.
+    bench_steps = 200
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    total_samples = 0
+    for _ in range(bench_steps):
+        m = trainer.run_step()
+        total_samples += int(m["n_samples"])
+    jax.block_until_ready(trainer.state.params)
+    elapsed = time.perf_counter() - t0
+
+    samples_per_sec = total_samples / elapsed
+    print(json.dumps({
+        "metric": "train_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def _load_renderings(root_fp: str, subject_id: str, split: str):
         timestamps.append(frame["time"] if "time" in frame else float(i) / (n - 1))
         camtoworlds.append(frame["transform_matrix"])
     images = np.stack(images, 0).astype(np.uint8)
-    camtoworlds = np.asarray(camtoworlds, np.float32)
+    camtoworlds = np.asarray(camtoworlds, np.float32)[:, :3, :4]
     timestamps = np.asarray(timestamps, np.float32)
     h, w = images.shape[1:3]
     focal = 0.5 * w / np.tan(0.5 * float(meta["camera_angle_x"]))

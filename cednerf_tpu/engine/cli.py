@@ -1,0 +1,74 @@
+"""Shared CLI flags + run helpers (parity with reference opt.py:5-87 and the
+train/eval/video driver logic of train_real.py)."""
+
+import argparse
+
+import numpy as np
+
+from ..models.field import DNGPRadianceField
+from .config import ModelFlags, SceneConfig
+
+
+def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """The exact flag surface of the reference's opt.py (incl. short names)."""
+    parser.add_argument("-df", "--use_div_offsets", action="store_true",
+                        help="predict offsets with two separated predictions")
+    parser.add_argument("-f", "--use_feat_predict", action="store_true",
+                        help="use an mlp to predict the hash feature")
+    parser.add_argument("-w", "--use_weight_predict", action="store_true",
+                        help="use an mlp to predict the weight feature")
+    parser.add_argument("-te", "--use_time_embedding", action="store_true",
+                        help="predict density with time embedding")
+    parser.add_argument("-ta", "--use_time_attenuation", action="store_true",
+                        help="use time attenuation in time embedding")
+    parser.add_argument("-ms", "--moving_step", type=float, default=1e-4)
+    parser.add_argument("-o", "--use_opacity_loss", action="store_true",
+                        help="use an opacity loss")
+    parser.add_argument("-d", "--distortion_loss", action="store_true",
+                        help="use a distortion loss")
+    parser.add_argument("-wr", "--weight_rgbper", action="store_true",
+                        help="use weighted rgbs for rgb")
+    # the reference names this flag 'acc_entorpy_loss' (sic); accept both
+    parser.add_argument("-ae", "--acc_entropy_loss", "--acc_entorpy_loss",
+                        action="store_true", dest="acc_entropy_loss",
+                        help="use accumulated opacities as entropy loss")
+    parser.add_argument("--render_video", action="store_true", help="render video")
+    parser.add_argument("--load_model", action="store_true", help="load model")
+    return parser
+
+
+def flags_from_args(args) -> ModelFlags:
+    return ModelFlags(
+        use_div_offsets=args.use_div_offsets,
+        use_feat_predict=args.use_feat_predict,
+        use_weight_predict=args.use_weight_predict,
+        use_time_embedding=args.use_time_embedding,
+        use_time_attenuation=args.use_time_attenuation,
+        use_opacity_loss=args.use_opacity_loss,
+        distortion_loss=args.distortion_loss,
+        weight_rgbper=args.weight_rgbper,
+        acc_entropy_loss=args.acc_entropy_loss,
+    )
+
+
+def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
+    """Flagship model for a scene preset (train_real.py:253-265: the field's
+    aabb is the *outermost* grid level's)."""
+    aabb = np.asarray(cfg.aabb, np.float32)
+    center = (aabb[:3] + aabb[3:]) / 2
+    half = (aabb[3:] - aabb[:3]) / 2 * (2.0 ** (cfg.grid_nlvl - 1))
+    outer = tuple(np.concatenate([center - half, center + half]).tolist())
+    return DNGPRadianceField(
+        aabb=outer,
+        moving_step=cfg.moving_step,
+        dst_resolution=cfg.hash_dst_resolution,
+        log2_hashmap_size=cfg.log2_hashmap_size,
+        use_div_offsets=flags.use_div_offsets,
+        use_time_embedding=flags.use_time_embedding,
+        use_time_attenuation=flags.use_time_attenuation,
+        use_feat_predict=flags.use_feat_predict,
+        use_weight_predict=flags.use_weight_predict,
+        hash4motion=flags.hash4motion,
+        time_inject_before_sigma=flags.time_inject_before_sigma,
+        grid_type=flags.grid_type,
+    )

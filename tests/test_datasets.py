@@ -1,0 +1,272 @@
+"""Dataset loader tests against tiny generated fixture scenes (the reference
+ships no tests; fixtures mirror each dataset family's on-disk schema)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cednerf_tpu.datasets.camera import Camera, radial_and_tangential_undistort
+from cednerf_tpu.datasets.llff import correct_poses_bounds
+from cednerf_tpu.datasets.rays import generate_spiral_path, pinhole_rays
+
+
+# ---------------------------------------------------------------- fixtures
+
+def make_dnerf_fixture(root, scene="lego", n_frames=3, wh=16):
+    import imageio.v2 as imageio
+
+    d = os.path.join(root, scene)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for split in ["train", "test"]:
+        frames = []
+        for i in range(n_frames):
+            rel = f"./{split}_{i:03d}"
+            img = rng.integers(0, 255, (wh, wh, 4), dtype=np.uint8)
+            imageio.imwrite(os.path.join(d, f"{split}_{i:03d}.png"), img)
+            c2w = np.eye(4)
+            c2w[2, 3] = 4.0
+            frames.append({
+                "file_path": rel,
+                "time": i / max(n_frames - 1, 1),
+                "transform_matrix": c2w.tolist(),
+            })
+        meta = {"camera_angle_x": 0.69, "frames": frames}
+        with open(os.path.join(d, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    return root
+
+
+def make_hypernerf_fixture(root, scene="vrig_test", n_imgs=8, wh=16):
+    import imageio.v2 as imageio
+
+    inner = os.path.join(root, scene, scene.split("vrig_")[-1])
+    os.makedirs(os.path.join(inner, "camera"), exist_ok=True)
+    os.makedirs(os.path.join(inner, "rgb", "2x"), exist_ok=True)
+    ids = [f"{i:06d}" for i in range(n_imgs)]
+    rng = np.random.default_rng(1)
+    with open(os.path.join(inner, "scene.json"), "w") as f:
+        json.dump({"near": 0.1, "far": 10.0, "scale": 0.5,
+                   "center": [0.1, 0.2, 0.3]}, f)
+    with open(os.path.join(inner, "metadata.json"), "w") as f:
+        json.dump({i: {"time_id": k, "camera_id": k % 2, "warp_id": k,
+                       "appearance_id": k} for k, i in enumerate(ids)}, f)
+    with open(os.path.join(inner, "dataset.json"), "w") as f:
+        json.dump({"ids": ids,
+                   "train_ids": ids[::2],
+                   "val_ids": ids[1::2]}, f)
+    for k, i in enumerate(ids):
+        cam = {
+            "orientation": np.eye(3).tolist(),
+            "position": [0.0, 0.0, -4.0 - 0.1 * k],
+            "focal_length": 2 * wh,
+            "principal_point": [wh, wh],  # full-res (2x) principal point
+            "skew": 0.0,
+            "pixel_aspect_ratio": 1.0,
+            "radial_distortion": [0.01, 0.001, 0.0],
+            "tangential_distortion": [0.001, 0.0],
+            "image_size": [2 * wh, 2 * wh],
+        }
+        with open(os.path.join(inner, "camera", f"{i}.json"), "w") as f:
+            json.dump(cam, f)
+        img = rng.integers(0, 255, (wh, wh, 3), dtype=np.uint8)
+        imageio.imwrite(os.path.join(inner, "rgb", "2x", f"{i}.png"), img)
+    return root
+
+
+def make_dynerf_fixture(root, scene="cook_spinach", n_cams=3, n_frames=4, wh=16):
+    import imageio.v2 as imageio
+
+    d = os.path.join(root, scene)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(2)
+    # poses_bounds.npy: [n_cams, 17] = 3x5 pose + 2 bounds
+    poses = []
+    for c in range(n_cams):
+        pose = np.concatenate(
+            [np.eye(3), np.array([[0.2 * c], [0.0], [4.0]])], axis=1
+        )  # 3x4
+        hwf = np.array([[wh * 4], [wh * 4], [wh * 8.0]])  # full-res h, w, focal
+        poses.append(np.concatenate([pose, hwf], axis=1).reshape(-1))
+    arr = np.stack([np.concatenate([p, [1.0, 10.0]]) for p in poses])
+    np.save(os.path.join(d, "poses_bounds.npy"), arr)
+
+    manifest = {"scene": scene, "videos": []}
+    os.makedirs(os.path.join(d, "frames"), exist_ok=True)
+    for c in range(n_cams):
+        entries = []
+        for i in range(n_frames):
+            rel = os.path.join("frames", f"c{c}_f{i}.png")
+            img = rng.integers(0, 255, (wh, wh, 3), dtype=np.uint8)
+            imageio.imwrite(os.path.join(d, rel), img)
+            entries.append({"path": rel, "idx": i, "weight": wh, "height": wh})
+        manifest["videos"].append({"video_name": f"cam{c:02d}", "images": entries})
+    with open(os.path.join(d, "images_x4_list.json"), "w") as f:
+        json.dump(manifest, f)
+    return root
+
+
+# ---------------------------------------------------------------- tests
+
+def test_dnerf_loader(tmp_path):
+    from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset
+
+    root = make_dnerf_fixture(str(tmp_path))
+    ds = DNeRFSyntheticDataset("lego", root, "train", num_rays=64)
+    assert len(ds) == 3
+    batch = ds.sample(64)
+    assert batch["origins"].shape == (64, 3)
+    assert batch["pixels"].shape == (64, 3)
+    assert batch["timestamps"].shape == (64, 1)
+    np.testing.assert_allclose(np.linalg.norm(batch["viewdirs"], axis=-1), 1.0,
+                               atol=1e-5)
+    data = ds.image_rays(0)
+    assert data["origins"].shape == (16, 16, 3)
+    assert 0.0 <= data["timestamp"] <= 1.0
+    assert ds.timestamps_pool.shape == (3, 1)
+
+
+def test_hypernerf_loader(tmp_path):
+    from cednerf_tpu.datasets.hypernerf import HyperNeRFDataset
+
+    root = make_hypernerf_fixture(str(tmp_path))
+    train = HyperNeRFDataset("vrig_test", root, "train", num_rays=32, factor=2,
+                             add_cam=True)
+    test = HyperNeRFDataset("vrig_test", root, "test", factor=2, add_cam=True)
+    assert len(train) == 4 and len(test) == 4
+    batch = train.sample(32)
+    assert batch["origins"].shape == (32, 3)
+    # one image per batch: all origins identical (hypernerf.py:456-461)
+    assert np.allclose(batch["origins"], batch["origins"][0])
+    assert np.allclose(batch["timestamps"], batch["timestamps"][0])
+    np.testing.assert_allclose(np.linalg.norm(batch["viewdirs"], axis=-1), 1.0,
+                               atol=1e-5)
+    # cameras recentered+scaled into scene coords
+    cam = train.cameras[0]
+    np.testing.assert_allclose(cam.position, ([0, 0, -4.0] - np.array([0.1, 0.2, 0.3])) * 0.5,
+                               atol=1e-5)
+
+
+def test_hypernerf_nonvrig_split(tmp_path):
+    from cednerf_tpu.datasets.hypernerf import HyperNeRFDataset
+
+    root = make_hypernerf_fixture(str(tmp_path), scene="vrig_test")
+    # rewrite dataset.json with empty val_ids -> every-4th split
+    inner = os.path.join(root, "vrig_test", "test")
+    with open(os.path.join(inner, "dataset.json")) as f:
+        dj = json.load(f)
+    dj["val_ids"] = []
+    dj.pop("train_ids", None)
+    with open(os.path.join(inner, "dataset.json"), "w") as f:
+        json.dump(dj, f)
+    train = HyperNeRFDataset("vrig_test", root, "train", num_rays=8, factor=2,
+                             add_cam=False)
+    # 8 images -> train ids {0, 4}, test = train+2 minus last -> {2}
+    assert len(train) == 2
+
+
+def test_camera_undistort_roundtrip():
+    k1, k2, k3, p1, p2 = 0.05, 0.01, 0.001, 0.002, 0.001
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.4, 0.4, 128)
+    y = rng.uniform(-0.4, 0.4, 128)
+    from cednerf_tpu.datasets.camera import _distort
+
+    xd, yd = _distort(x, y, k1, k2, k3, p1, p2)
+    xu, yu = radial_and_tangential_undistort(xd, yd, k1, k2, k3, p1, p2)
+    np.testing.assert_allclose(xu, x, atol=1e-5)
+    np.testing.assert_allclose(yu, y, atol=1e-5)
+
+
+def test_camera_project_ray_consistency():
+    """pixels_to_rays and project are inverse up to depth."""
+    cam = Camera(
+        orientation=np.eye(3), position=np.zeros(3), focal_length=100.0,
+        principal_point=np.array([32.0, 32.0]), image_size=np.array([64, 64]),
+        radial_distortion=np.array([0.02, 0.001, 0.0]),
+        tangential_distortion=np.array([0.001, 0.0005]),
+    )
+    pixels = np.array([[10.5, 20.5], [32.5, 32.5], [50.0, 40.0]], np.float32)
+    dirs = cam.pixels_to_rays(pixels)
+    pts = cam.position + dirs * 3.0
+    back = cam.project(pts)
+    np.testing.assert_allclose(back, pixels, atol=1e-3)
+
+
+def test_dynerf_loader(tmp_path):
+    from cednerf_tpu.datasets.dynerf import DyNeRFDataset
+
+    root = make_dynerf_fixture(str(tmp_path))
+    train = DyNeRFDataset("cook_spinach", root, "train", num_rays=32, factor=4,
+                          sampling="uniform")
+    test = DyNeRFDataset("cook_spinach", root, "test", factor=4)
+    # train drops camera 0; test keeps only camera 0 at every 10th frame
+    assert train.num_cameras == 2 and len(train) == 8
+    assert test.num_cameras == 1 and len(test) == 1
+    batch = train.sample(32)
+    assert batch["origins"].shape == (32, 3)
+    assert batch["timestamps"].min() >= 0 and batch["timestamps"].max() <= 1
+    poses = train.render_poses()
+    assert poses["c2w"].shape == (300, 3, 4)
+    pr = train.pose_rays(poses, 0)
+    assert pr["origins"].shape == (16, 16, 3)
+
+
+def test_dynerf_isg_ist_sampling(tmp_path):
+    from cednerf_tpu.datasets.dynerf import (
+        DyNeRFDataset,
+        isg_weights,
+        ist_weights,
+    )
+
+    root = make_dynerf_fixture(str(tmp_path))
+    d = os.path.join(root, "cook_spinach")
+    # weights concentrated on one image's top-left corner
+    w = np.full((8, 16, 16), 1e-9, np.float32)
+    w[3, :4, :4] = 1.0
+    np.save(os.path.join(d, "isg_weights.npy"), w / w.sum())
+    ds = DyNeRFDataset("cook_spinach", root, "train", num_rays=64, factor=4,
+                       sampling="isg")
+    assert ds.sampling == "isg"
+    batch = ds.sample(64)
+    t = batch["timestamps"]
+    # image 3 = cam 0(after drop), frame 3 -> t = 3/3 = 1.0
+    np.testing.assert_allclose(t, 1.0, atol=1e-6)
+
+    # weight-function sanity: static scene -> flat-ish ISG; moving pixel
+    # raises IST weight at that pixel
+    imgs = np.zeros((8, 16, 16, 3), np.uint8)
+    imgs[4:, 2, 2] = 255  # second camera's pixel flickers over time
+    med = np.zeros((2, 16, 16, 3), np.uint8)
+    isg = isg_weights(imgs, med)
+    assert isg.shape == (2, 4, 16, 16)
+    assert isg[1, :, 2, 2].max() > isg[1, :, 0, 0].max()
+    ist = ist_weights(imgs, 2)
+    assert ist.shape == (2, 4, 16, 16)
+    assert ist[1, 0, 2, 2] > ist[1, 0, 0, 0]
+    np.testing.assert_allclose(ist[0], 0.1)  # static camera clamps to alpha
+
+
+def test_llff_pose_correction():
+    rng = np.random.default_rng(4)
+    poses = np.stack([np.concatenate([np.eye(3), [[0], [0], [4.0 + 0.1 * i]]], 1)
+                      for i in range(4)])
+    bounds = np.array([[2.0, 10.0]] * 4)
+    out, ref, b = correct_poses_bounds(poses.copy(), bounds.copy())
+    assert out.shape == (4, 3, 4)
+    np.testing.assert_allclose(b.min(), 2.0 / (2.0 * 0.75), rtol=1e-6)
+    # average centered pose ~ identity position
+    np.testing.assert_allclose(out[..., 3].mean(0), 0.0, atol=1e-5)
+
+
+def test_spiral_path_shapes():
+    poses = np.stack([np.concatenate([np.eye(3), [[np.cos(t)], [np.sin(t)], [4.0]]], 1)
+                      for t in np.linspace(0, 1, 5)])
+    nf = np.array([[1.0, 10.0]] * 5)
+    sp = generate_spiral_path(poses, nf, n_frames=30)
+    assert sp.shape == (30, 3, 4)
+    # rotations orthonormal
+    rtr = np.einsum("nij,nik->njk", sp[:, :, :3], sp[:, :, :3])
+    np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), (30, 3, 3)), atol=1e-5)

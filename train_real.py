@@ -1,0 +1,152 @@
+"""Occupancy-grid training CLI (TPU-native rebuild of the reference's
+train_real.py — same flags, artifacts, and checkpoint contract).
+
+Usage (reference README):
+  python train_real.py --data_root <dir> --scene lego -te -ta -f -ae -df -d
+  python train_real.py --scene lego --load_model --render_video
+"""
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+from cednerf_tpu.datasets import (
+    DNERF_SYNTHETIC_SCENES,
+    DYNERF_SCENES,
+    HYPERNERF_SCENES,
+)
+from cednerf_tpu.engine.cli import build_field, flags_from_args, get_model_args
+from cednerf_tpu.engine.config import config_for_scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--data_root", type=str,
+        default=str(pathlib.Path.cwd() / "data/dnerf_synthetic"),
+        help="the root dir of the dataset",
+    )
+    parser.add_argument("--train_split", type=str, default="train",
+                        choices=["train", "trainval"])
+    parser.add_argument(
+        "--scene", type=str, default="lego",
+        choices=DNERF_SYNTHETIC_SCENES + DYNERF_SCENES + HYPERNERF_SCENES,
+    )
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="override the preset step count")
+    parser.add_argument("--model_path", type=str, default="model_ckpt",
+                        help="checkpoint directory (reference: model.pth)")
+    parser.add_argument("--gui", action="store_true",
+                        help="launch the interactive viewer after training")
+    parser = get_model_args(parser)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cednerf_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+    from cednerf_tpu.engine.train import Trainer, create_train_state
+    from cednerf_tpu.utils.image import write_png, write_video
+    from cednerf_tpu.utils.metrics import depth_to_img, ms_ssim, psnr
+
+    cfg = config_for_scene(args.scene, args.max_steps)
+    flags = flags_from_args(args)
+    field = build_field(cfg, flags)
+
+    if args.scene in DNERF_SYNTHETIC_SCENES:
+        from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset as Loader
+
+        loader_kwargs = {}
+    elif args.scene in HYPERNERF_SCENES:
+        from cednerf_tpu.datasets.hypernerf import HyperNeRFDataset as Loader
+
+        loader_kwargs = dict(color_bkgd_aug="black", factor=cfg.dataset_factor,
+                             add_cam=cfg.add_cam)
+    else:
+        from cednerf_tpu.datasets.dynerf import DyNeRFDataset as Loader
+
+        loader_kwargs = dict(factor=cfg.dataset_factor)
+
+    test_kwargs = dict(loader_kwargs)
+    if args.scene in DYNERF_SCENES:
+        loader_kwargs["color_bkgd_aug"] = cfg.train_bkgd_aug
+        test_kwargs["color_bkgd_aug"] = cfg.test_bkgd_aug
+
+    test_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
+                          split="test", num_rays=None, **test_kwargs)
+
+    if args.load_model:
+        train_dataset = None
+        trainer = None
+        state = create_train_state(field, cfg, jax.random.PRNGKey(42))
+        state, step = load_checkpoint(args.model_path, state)
+        print(f"loaded checkpoint at step {step} from {args.model_path}")
+    else:
+        train_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
+                               split=args.train_split, num_rays=cfg.init_batch_size,
+                               **loader_kwargs)
+        trainer = Trainer(field, cfg, flags, train_dataset, seed=42)
+
+        tic = time.time()
+        for step in range(cfg.max_steps + 1):
+            metrics = trainer.run_step()
+            if step % 10000 == 0:
+                elapsed = time.time() - tic
+                print(
+                    f"elapsed_time={elapsed:.2f}s | step={step} | "
+                    f"loss={metrics['loss']:.5f} | psnr={metrics['psnr']:.2f} | "
+                    f"n_rendering_samples={int(metrics['n_samples'])} | "
+                    f"num_rays={int(metrics['num_rays'])} | "
+                    f"max_depth={metrics['max_depth']:.3f} |"
+                )
+        state = trainer.state
+        save_checkpoint(args.model_path, state, trainer.step)
+        print(f"train time: {time.time() - tic:.2f}s; saved {args.model_path}")
+
+        # evaluation (train_real.py:443-520)
+        render_chunk = make_eval_render_fn(field, cfg)
+        psnrs, ssims = [], []
+        for test_step in range(len(test_dataset)):
+            data = test_dataset.image_rays(test_step)
+            rgb, acc, depth = render_image(
+                field, state.params, state.occ, render_chunk,
+                data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
+                jnp.asarray(data["color_bkgd"]), chunk=cfg.eval_chunk,
+            )
+            psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(data["pixels"]))))
+            ssims.append(float(ms_ssim(jnp.asarray(rgb),
+                                       jnp.asarray(data["pixels"]))))
+            if test_step == 0:
+                write_png("rgb_test.png", rgb)
+                write_png("depth_test.png", depth_to_img(depth))
+                err = np.linalg.norm(rgb - data["pixels"], axis=-1)
+                write_png("rgb_error.png", (np.clip(err, 0, 1) * 255).astype(np.uint8))
+        print(f"evaluation: psnr_avg={np.mean(psnrs)}, ssim_avg={np.mean(ssims)}")
+
+    if args.render_video:
+        # spiral-path video (train_real.py:523-558)
+        render_chunk = make_eval_render_fn(field, cfg)
+        poses = test_dataset.render_poses()
+        rgb_frames, depth_frames = [], []
+        bkgd = jnp.zeros(3)
+        for i in range(len(poses["c2w"])):
+            data = test_dataset.pose_rays(poses, i)
+            rgb, acc, depth = render_image(
+                field, state.params, state.occ, render_chunk,
+                data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
+                bkgd, chunk=cfg.eval_chunk,
+            )
+            rgb_frames.append(np.flip((rgb * 255).astype(np.uint8), axis=1))
+            depth_frames.append(np.flip(depth_to_img(depth), axis=1))
+        write_video("rgb_render.mp4", rgb_frames, fps=20)
+        write_video("depth_render.mp4", depth_frames, fps=20)
+
+    if args.gui:
+        print("GUI viewer: not available in this build yet (tracked in ROADMAP).")
+
+
+if __name__ == "__main__":
+    main()
