@@ -1,0 +1,123 @@
+"""Proposal-network training CLI (the *working* equivalent of the reference's
+train_prop_real.py, which declares proposal networks but never wires them and
+imports a missing module — SURVEY §2a#2).
+
+Same flag surface as train_real.py; sampling uses hierarchical proposal
+PDF-resampling instead of the occupancy grid.
+"""
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+from cednerf_tpu.datasets import (
+    DNERF_SYNTHETIC_SCENES,
+    DYNERF_SCENES,
+    HYPERNERF_SCENES,
+)
+from cednerf_tpu.engine.cli import build_field, flags_from_args, get_model_args
+from cednerf_tpu.engine.config import config_for_scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--data_root", type=str,
+        default=str(pathlib.Path.cwd() / "data/dnerf_synthetic"),
+    )
+    parser.add_argument("--train_split", type=str, default="train",
+                        choices=["train", "trainval"])
+    parser.add_argument(
+        "--scene", type=str, default="lego",
+        choices=DNERF_SYNTHETIC_SCENES + DYNERF_SCENES + HYPERNERF_SCENES,
+    )
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--num_rays", type=int, default=8192,
+                        help="fixed ray batch (the proposal path needs no "
+                             "dynamic sample batching: shapes are dense)")
+    parser = get_model_args(parser)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cednerf_tpu.engine.renderer import render_image
+    from cednerf_tpu.engine.train_prop import (
+        PropConfig,
+        build_prop_networks,
+        create_prop_train_state,
+        make_prop_eval_render_fn,
+        make_prop_train_step,
+    )
+    from cednerf_tpu.utils.image import write_png
+    from cednerf_tpu.utils.metrics import depth_to_img, ms_ssim, psnr
+
+    cfg = config_for_scene(args.scene, args.max_steps)
+    flags = flags_from_args(args)
+    field = build_field(cfg, flags)
+    pcfg = PropConfig.for_family(cfg.family)
+    props = build_prop_networks(cfg, pcfg)
+
+    if args.scene in DNERF_SYNTHETIC_SCENES:
+        from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset as Loader
+
+        loader_kwargs = {}
+    elif args.scene in HYPERNERF_SCENES:
+        from cednerf_tpu.datasets.hypernerf import HyperNeRFDataset as Loader
+
+        loader_kwargs = dict(color_bkgd_aug="black", factor=cfg.dataset_factor,
+                             add_cam=cfg.add_cam)
+    else:
+        from cednerf_tpu.datasets.dynerf import DyNeRFDataset as Loader
+
+        loader_kwargs = dict(factor=cfg.dataset_factor,
+                             color_bkgd_aug=cfg.train_bkgd_aug)
+
+    train_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
+                           split=args.train_split, num_rays=args.num_rays,
+                           **loader_kwargs)
+    test_kwargs = dict(loader_kwargs)
+    if args.scene in DYNERF_SCENES:
+        test_kwargs["color_bkgd_aug"] = cfg.test_bkgd_aug
+    test_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
+                          split="test", num_rays=None, **test_kwargs)
+
+    state = create_prop_train_state(field, props, cfg, jax.random.PRNGKey(42))
+    step_fn = make_prop_train_step(field, props, cfg, flags, pcfg)
+
+    key = jax.random.PRNGKey(0)
+    tic = time.time()
+    for step in range(cfg.max_steps + 1):
+        key, k = jax.random.split(key)
+        batch = {k2: jnp.asarray(v) for k2, v in
+                 train_dataset.sample(args.num_rays).items()}
+        state, m = step_fn(state, batch, k, step)
+        if step % 10000 == 0:
+            print(
+                f"elapsed_time={time.time() - tic:.2f}s | step={step} | "
+                f"loss={float(m['loss']):.5f} | psnr={float(m['psnr']):.2f} | "
+                f"n_rendering_samples={int(m['n_samples'])} |"
+            )
+    print(f"train time: {time.time() - tic:.2f}s")
+
+    render_chunk = make_prop_eval_render_fn(field, props, cfg, pcfg)
+    psnrs, ssims = [], []
+    for test_step in range(len(test_dataset)):
+        data = test_dataset.image_rays(test_step)
+        rgb, acc, depth = render_image(
+            field, state.params, None, render_chunk,
+            data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
+            jnp.asarray(data["color_bkgd"]), chunk=cfg.eval_chunk,
+        )
+        psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(data["pixels"]))))
+        ssims.append(float(ms_ssim(jnp.asarray(rgb), jnp.asarray(data["pixels"]))))
+        if test_step == 0:
+            write_png("rgb_test.png", rgb)
+            write_png("depth_test.png", depth_to_img(depth))
+    print(f"evaluation: psnr_avg={np.mean(psnrs)}, ssim_avg={np.mean(ssims)}")
+
+
+if __name__ == "__main__":
+    main()
