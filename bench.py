@@ -33,6 +33,9 @@ def main():
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config
     from cednerf_tpu.engine.train import Trainer
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # Flagship flags (the published combination -te -ta -f -ae -df -d).
     flags = ModelFlags(
         use_div_offsets=True, use_feat_predict=True, use_time_embedding=True,
@@ -42,22 +45,25 @@ def main():
     field = build_field(cfg, flags)
     scene = BallScene(n_cams=8, wh=128, n_times=8)
 
-    trainer = Trainer(field, cfg, flags, scene, seed=0)
+    trainer = Trainer(field, cfg, flags, scene, seed=0,
+                      device_sampler=scene.device_sampler(), steps_per_call=16)
 
     # Warmup: let occupancy carve the scene + buckets settle + everything
     # compile (a few bucket switches each trigger one compile).
-    warmup_steps = 300
-    for _ in range(warmup_steps):
-        trainer.run_step()
+    warmup_steps = 320
+    while trainer.step < warmup_steps:
+        trainer.run_chunk()
 
     # Timed run.
-    bench_steps = 200
+    bench_steps = 320
     jax.block_until_ready(trainer.state.params)
     t0 = time.perf_counter()
     total_samples = 0
-    for _ in range(bench_steps):
-        m = trainer.run_step()
-        total_samples += int(m["n_samples"])
+    steps_done = 0
+    while steps_done < bench_steps:
+        m = trainer.run_chunk()
+        total_samples += int(m["n_samples"]) * int(m["steps"])
+        steps_done += int(m["steps"])
     jax.block_until_ready(trainer.state.params)
     elapsed = time.perf_counter() - t0
 

@@ -173,6 +173,108 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int):
     return train_step
 
 
+def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
+                    n_rays: int, sample_fn, k_steps: int):
+    """K train steps per dispatch: lax.scan over the jitted step.
+
+    Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
+    tunneled chip) and keeps ray sampling on-device. `sample_fn(data, key,
+    n_rays)` is a device sampler (engine/sampling.py). Occupancy updates run
+    on their normal cadence inside the scan via lax.cond (warmup = all
+    cells, after = sampled quarter).
+
+    Returns fn(state, data, timestamps_pool, key, step0) ->
+    (state, stacked metrics over the K steps).
+    """
+    tx = make_optimizer(cfg)
+
+    def occ_update_inline(params, occ, timestamps_pool, key, warm: bool):
+        def density_fn(x, k):
+            ti = jax.random.randint(k, (x.shape[0],), 0, timestamps_pool.shape[0])
+            t = timestamps_pool[ti].reshape(-1, 1)
+            res = field.apply(params, x, t, method=field.query_density)
+            return res["density"] * cfg.render_step_size
+
+        return update_occ_grid(
+            occ, density_fn, key, occ_thre=cfg.occ_thre,
+            ema_decay=cfg.occ_ema_decay, all_cells=warm,
+        )
+
+    def one_step(state: TrainState, batch, key):
+        k_march, = jax.random.split(key, 1)
+        samples = march_rays(
+            state.occ, batch["origins"], batch["viewdirs"],
+            near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+            render_step_size=cfg.render_step_size, cone_angle=cfg.cone_angle,
+            max_march_steps=cfg.max_march_steps, s_max=s_max,
+            stratified_key=k_march,
+        )
+        occ_mean = occ_mean_value(state.occ)
+
+        def loss_fn(params):
+            out = render_rays(
+                field, params, batch["origins"], batch["viewdirs"], samples,
+                batch["timestamps"], batch["color_bkgd"], occ_mean,
+                alpha_thre=cfg.alpha_thre, train=True,
+            )
+            mse = jnp.mean((out.rgb - batch["pixels"]) ** 2)
+            loss = mse
+            extras = out.extras
+            if flags.use_opacity_loss:
+                loss += L.opacity_loss(out.opacity) * 1e-3
+            if flags.distortion_loss:
+                loss += L.distortion_loss(extras["weights"], extras["t_starts"],
+                                          extras["t_ends"], extras["mask"]) * 1e-3
+            if flags.acc_entropy_loss:
+                loss += L.acc_entropy_loss(out.opacity) * 1e-3
+            if flags.weight_rgbper:
+                loss += L.rgbper_loss(extras["rgbs"], batch["pixels"],
+                                      jax.lax.stop_gradient(extras["weights"]),
+                                      extras["mask"]) * 1e-3
+            if flags.use_feat_predict:
+                loss += jnp.mean(extras["latent_losses"])
+            if flags.use_weight_predict:
+                loss += jnp.mean(extras["weight_losses"])
+            return loss, {"mse": mse, "n_samples": out.n_samples}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "mse": aux["mse"],
+                   "n_samples": aux["n_samples"].astype(jnp.float32)}
+        return TrainState(params=params, opt_state=opt_state, occ=state.occ), metrics
+
+    @jax.jit
+    def train_loop(state: TrainState, data, timestamps_pool, key, step0):
+        def body(carry, i):
+            state = carry
+            step = step0 + i
+            k_all = jax.random.fold_in(key, i)
+            k_occ, k_batch, k_step = jax.random.split(k_all, 3)
+
+            def do_update(occ):
+                return jax.lax.cond(
+                    step < cfg.occ_warmup_steps,
+                    lambda: occ_update_inline(state.params, occ, timestamps_pool,
+                                              k_occ, True),
+                    lambda: occ_update_inline(state.params, occ, timestamps_pool,
+                                              k_occ, False),
+                )
+
+            occ = jax.lax.cond(
+                step % cfg.occ_update_interval == 0,
+                do_update, lambda o: o, state.occ,
+            )
+            state = state._replace(occ=occ)
+            batch = sample_fn(data, k_batch, n_rays)
+            return one_step(state, batch, k_step)
+
+        state, metrics = jax.lax.scan(body, state, jnp.arange(k_steps))
+        return state, metrics
+
+    return train_loop
+
+
 class Trainer:
     """Host-side training loop: occupancy cadence + bucketed batch shapes.
 
@@ -181,7 +283,9 @@ class Trainer:
     """
 
     def __init__(self, field, cfg: SceneConfig, flags: ModelFlags, dataset,
-                 seed: int = 42):
+                 seed: int = 42, device_sampler=None, steps_per_call: int = 16):
+        """device_sampler: optional (data_pytree, sample_fn) pair
+        (engine/sampling.py) enabling the scanned multi-step fast path."""
         self.field = field
         self.cfg = cfg
         self.flags = flags
@@ -193,6 +297,9 @@ class Trainer:
         # start at the largest per-ray cap: early training has a dense grid
         self.bucket = cfg.buckets()[0]
         self._step_fns = {}
+        self._loop_fns = {}
+        self.device_sampler = device_sampler
+        self.steps_per_call = steps_per_call
         self._occ_warm = make_occ_update_fn(field, cfg, all_cells=True)
         self._occ_sampled = make_occ_update_fn(field, cfg, all_cells=False)
         self.timestamps_pool = jnp.asarray(
@@ -230,3 +337,65 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()} | {
             "num_rays": n_rays, "s_max": s_max,
         }
+
+    # ---------------- scanned multi-step fast path ---------------- #
+
+    def _loop_fn(self, n_rays: int, s_max: int):
+        keyed = (n_rays, s_max)
+        if keyed not in self._loop_fns:
+            data, sample_fn = self.device_sampler
+            self._loop_fns[keyed] = make_train_loop(
+                self.field, self.cfg, self.flags, s_max, n_rays, sample_fn,
+                self.steps_per_call,
+            )
+        return self._loop_fns[keyed]
+
+    def run_chunk(self) -> dict:
+        """Run `steps_per_call` steps in one dispatch (device sampling).
+
+        Bucket feedback happens once per chunk instead of per step — the
+        quantized version of the reference's per-step resize.
+        """
+        assert self.device_sampler is not None
+        cfg = self.cfg
+        n_rays, s_max = self.bucket
+        self.key, k = jax.random.split(self.key)
+        data, _ = self.device_sampler
+        self.state, metrics = self._loop_fn(n_rays, s_max)(
+            self.state, data, self.timestamps_pool, k,
+            jnp.asarray(self.step, jnp.int32),
+        )
+        self.step += self.steps_per_call
+
+        mean_samples = float(jnp.mean(metrics["n_samples"]))
+        if mean_samples > 0:
+            self.bucket = cfg.pick_bucket(mean_samples / n_rays)
+        return {
+            "loss": float(jnp.mean(metrics["loss"])),
+            "mse": float(jnp.mean(metrics["mse"])),
+            "psnr": float(-10.0 * jnp.log(jnp.mean(metrics["mse"])) / np.log(10.0)),
+            "n_samples": mean_samples,
+            "num_rays": n_rays,
+            "s_max": s_max,
+            "steps": self.steps_per_call,
+        }
+
+    def run(self, total_steps: int, log_every: int = 10000, log_fn=print):
+        """Drive training to `total_steps` using the fastest available path."""
+        import time as _time
+
+        tic = _time.time()
+        while self.step <= total_steps:
+            if self.device_sampler is not None:
+                m = self.run_chunk()
+            else:
+                m = self.run_step()
+            if log_every and (self.step % log_every <
+                              (self.steps_per_call if self.device_sampler else 1)):
+                log_fn(
+                    f"elapsed_time={_time.time() - tic:.2f}s | step={self.step} | "
+                    f"loss={m['loss']:.5f} | psnr={m.get('psnr', 0):.2f} | "
+                    f"n_rendering_samples={int(m['n_samples'])} | "
+                    f"num_rays={int(m['num_rays'])} |"
+                )
+        return self.state

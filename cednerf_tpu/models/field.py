@@ -78,13 +78,41 @@ class MLP(nn.Module):
 
 
 class HashGridEncoder(nn.Module):
-    """Parameterized multires hash grid (3D or 4D-with-time-keyframes)."""
+    """Parameterized multires hash grid (3D or 4D-with-time-keyframes).
+
+    impl='brick' (default) uses the TPU-first brick storage layout
+    (ops/brick_grid.py: one 512-byte row gather per sample-level);
+    impl='gather' is the exact-NGP per-corner layout (ops/hash_grid.py),
+    kept for parity/unit tests and small side networks.
+    """
 
     spec: HashGridSpec
     dtype: jnp.dtype = jnp.bfloat16
+    impl: str = "brick"
 
     @nn.compact
     def __call__(self, x, t: Optional[jnp.ndarray] = None):
+        if self.impl == "brick":
+            from ..ops.brick_grid import BrickGridSpec, brick_encode
+
+            bspec = BrickGridSpec(
+                n_levels=self.spec.n_levels,
+                n_features=self.spec.n_features,
+                base_res=self.spec.base_res,
+                max_res=self.spec.max_res,
+                log2_hashmap_size=self.spec.log2_hashmap_size,
+                time_keyframes=self.spec.time_keyframes,
+            )
+            params = {
+                name: self.param(
+                    name,
+                    lambda key, s=shape: jax.random.uniform(
+                        key, s, jnp.float32, -1e-4, 1e-4
+                    ),
+                )
+                for name, shape in bspec.param_shapes()
+            }
+            return brick_encode(x, params, bspec, t=t, compute_dtype=self.dtype)
         table = self.param("table", lambda key: self.spec.init_table(key))
         if self.spec.time_keyframes:
             assert t is not None
@@ -105,6 +133,7 @@ class NGPDensityField(nn.Module):
     max_resolution: int = 128
     n_levels: int = 5
     log2_hashmap_size: int = 17
+    encoder_impl: str = "brick"
 
     def setup(self):
         self.grid = HashGridEncoder(
@@ -114,7 +143,8 @@ class NGPDensityField(nn.Module):
                 base_res=self.base_resolution,
                 max_res=self.max_resolution,
                 log2_hashmap_size=self.log2_hashmap_size,
-            )
+            ),
+            impl=self.encoder_impl,
         )
         self.mlp = MLP(out_dim=1, hidden_layers=1)
 
@@ -154,6 +184,7 @@ class DNGPRadianceField(nn.Module):
     use_viewdirs: bool = True
     grid_type: str = "hash3d"  # "hash3d" (motion-warped) or "hash4d" (time keyframes)
     time_keyframes: int = 4  # only for grid_type == "hash4d"
+    encoder_impl: str = "brick"  # hot-path layout: "brick" (TPU-first) or "gather"
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -174,14 +205,15 @@ class DNGPRadianceField(nn.Module):
             # (model.py:165-199).
             self.motion_grid = HashGridEncoder(
                 HashGridSpec(n_levels=8, n_features=2, base_res=16, max_res=2048,
-                             log2_hashmap_size=19)
+                             log2_hashmap_size=19),
+                impl=self.encoder_impl,
             )
             self.motion_mlp = MLP(out_dim=motion_out, hidden_layers=1)
         else:
             # Frequency(xyzt, 4 octaves) -> 3-hidden MLP (model.py:201-222).
             self.motion_mlp = MLP(out_dim=motion_out, hidden_layers=3)
 
-        self.hash_encoder = HashGridEncoder(self.hash_spec)
+        self.hash_encoder = HashGridEncoder(self.hash_spec, impl=self.encoder_impl)
 
         self.mlp_base = MLP(out_dim=1 + self.geo_feat_dim, hidden_layers=1)
         self.mlp_head = MLP(out_dim=3, hidden_layers=2)

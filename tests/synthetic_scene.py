@@ -70,6 +70,50 @@ class BallScene:
             "color_bkgd": BG.copy(),
         }
 
+    def device_sampler(self):
+        """(data, sample_fn) pair for the scanned on-device training path:
+        rays are generated and ground truth rendered analytically in-jit."""
+        import jax
+        import jax.numpy as jnp
+
+        from cednerf_tpu.engine.sampling import pinhole_rays_device
+
+        data = {
+            "c2ws": jnp.asarray(self.c2ws),
+            "K": jnp.asarray(self.K),
+            "times": jnp.asarray(self.times),
+        }
+        wh = self.wh
+        radius2 = RADIUS ** 2
+        ball_color = jnp.asarray(BALL_COLOR)
+        bg = jnp.asarray(BG)
+
+        def sample(d, key, n_rays: int):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
+            ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
+            x = jax.random.randint(k3, (n_rays,), 0, wh).astype(jnp.float32)
+            y = jax.random.randint(k4, (n_rays,), 0, wh).astype(jnp.float32)
+            origins, viewdirs = pinhole_rays_device(x, y, d["K"], d["c2ws"][cam],
+                                                    True)
+            t = d["times"][ti]
+            center = jnp.stack(
+                [0.3 * (t - 0.5), jnp.zeros_like(t), jnp.zeros_like(t)], -1)
+            oc = origins - center
+            b = jnp.sum(oc * viewdirs, axis=-1)
+            disc = b ** 2 - (jnp.sum(oc * oc, -1) - radius2)
+            hit = (disc > 0) & (-b - jnp.sqrt(jnp.maximum(disc, 0)) > 0)
+            pixels = jnp.where(hit[:, None], ball_color, bg)
+            return {
+                "origins": origins,
+                "viewdirs": viewdirs,
+                "pixels": pixels,
+                "timestamps": t.reshape(-1, 1),
+                "color_bkgd": bg,
+            }
+
+        return data, sample
+
     def image_rays(self, cam: int, t: float) -> dict:
         x, y = np.meshgrid(np.arange(self.wh, dtype=np.float32),
                            np.arange(self.wh, dtype=np.float32), indexing="xy")

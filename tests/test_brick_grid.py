@@ -1,0 +1,184 @@
+"""Brick-layout grid tests: interpolation correctness vs a naive
+implementation, dense-level continuity, 4D keyframe lerp, gradients, and
+field-level equivalence of capabilities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cednerf_tpu.ops.brick_grid import (
+    BRICK_CELLS,
+    CORNERS_PER_BRICK,
+    BrickGridSpec,
+    _corner_weights,
+    _materialize_dense_bricks,
+    brick_encode,
+    level_resolution,
+    level_scale,
+)
+
+
+def small_spec(**kw):
+    d = dict(n_levels=3, n_features=2, base_res=4, max_res=32, log2_hashmap_size=10)
+    d.update(kw)
+    return BrickGridSpec(**d)
+
+
+def naive_dense_encode(x, grid, lvl, spec):
+    """Direct trilinear interpolation on the canonical dense corner grid."""
+    scale = level_scale(lvl, spec.log_b, spec.base_res)
+    out = np.zeros((x.shape[0], spec.n_features))
+    for n in range(x.shape[0]):
+        pos = x[n] * scale + 0.5
+        pg = np.floor(pos).astype(int)
+        fr = pos - pg
+        for c in range(8):
+            w = 1.0
+            coord = np.zeros(3, int)
+            for d in range(3):
+                if (c >> d) & 1:
+                    coord[d] = pg[d] + 1
+                    w *= fr[d]
+                else:
+                    coord[d] = pg[d]
+                    w *= 1 - fr[d]
+            out[n] += w * grid[coord[0], coord[1], coord[2]]
+    return out
+
+
+def test_layout_dense_vs_hashed():
+    spec = BrickGridSpec(n_levels=16, base_res=16, max_res=4096,
+                         log2_hashmap_size=19)
+    lays = spec.level_layout()
+    hashed_rows = 2 ** 19 // 16
+    for lay in lays:
+        if not lay["hashed"]:
+            assert lay["n_bricks_axis"] ** 3 <= hashed_rows
+        else:
+            assert lay["rows"] == hashed_rows
+    assert not lays[0]["hashed"] and lays[-1]["hashed"]
+
+
+def test_corner_weights_sum_to_one():
+    rng = np.random.default_rng(0)
+    intra = jnp.asarray(rng.integers(0, 3, (32, 3)))
+    frac = jnp.asarray(rng.random((32, 3)), jnp.float32)
+    w = np.asarray(_corner_weights(intra, frac, jnp.float32))
+    assert w.shape == (32, 64)
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert (np.sort(w, axis=-1)[:, :-8] == 0).all()  # exactly 8 nonzeros
+
+
+def test_dense_level_matches_naive_trilinear():
+    """Brick encode on a dense level == direct interpolation on the canonical
+    grid (exact NGP semantics preserved for dense levels)."""
+    spec = small_spec(n_levels=1, base_res=8, max_res=8)
+    params = spec.init_params(jax.random.PRNGKey(0))
+    (name, shape), = spec.param_shapes()
+    assert name == "grid_0"
+    grid = np.asarray(params[name])
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.02, 0.98, (32, 3)).astype(np.float32)
+    got = np.asarray(brick_encode(jnp.asarray(x), params, spec,
+                                  compute_dtype=jnp.float32))
+    want = naive_dense_encode(x.astype(np.float64), grid, 0, spec)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_dense_level_continuity_across_bricks():
+    """The encoding is continuous across brick boundaries at dense levels
+    (shared canonical corners — the layout transform does not split them)."""
+    spec = small_spec(n_levels=1, base_res=16, max_res=16)
+    params = spec.init_params(jax.random.PRNGKey(2))
+    scale = level_scale(0, spec.log_b, spec.base_res)
+    # brick boundary at cell 3: pos = 3.0 -> x = (3.0 - 0.5) / scale
+    xb = (3.0 - 0.5) / scale
+    eps = 1e-4
+    pts = jnp.asarray([[xb - eps, 0.4, 0.4], [xb + eps, 0.4, 0.4]], jnp.float32)
+    out = np.asarray(brick_encode(pts, params, spec, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(out[0], out[1], atol=1e-4)
+
+
+def test_materialize_dense_bricks_shares_corners():
+    nb = 3
+    n = 3 * nb + 1
+    grid = jnp.arange(n ** 3 * 2, dtype=jnp.float32).reshape(n, n, n, 2)
+    bricks = np.asarray(_materialize_dense_bricks(grid, nb))
+    assert bricks.shape == (27, 128)
+    # brick (0,0,0) corner (3,0,0) == brick (1,0,0) corner (0,0,0)
+    b000 = bricks[0].reshape(4, 4, 4, 2)
+    b100 = bricks[9].reshape(4, 4, 4, 2)  # brick x=1 -> index 1*nb*nb
+    np.testing.assert_array_equal(b000[3, 0, 0], b100[0, 0, 0])
+    np.testing.assert_array_equal(b000[0, 0, 0], np.asarray(grid[0, 0, 0]))
+
+
+def test_hashed_level_valid_and_deterministic():
+    spec = small_spec(n_levels=2, base_res=16, max_res=64, log2_hashmap_size=8)
+    lays = spec.level_layout()
+    assert lays[1]["hashed"]
+    params = spec.init_params(jax.random.PRNGKey(3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3), minval=0.01, maxval=0.99)
+    a = np.asarray(brick_encode(x, params, spec, compute_dtype=jnp.float32))
+    b = np.asarray(brick_encode(x, params, spec, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    assert a.shape == (64, spec.output_dim)
+
+
+def test_gradients_flow():
+    spec = small_spec()
+    params = spec.init_params(jax.random.PRNGKey(5))
+    x = jax.random.uniform(jax.random.PRNGKey(6), (32, 3), minval=0.05, maxval=0.95)
+
+    def loss(p, xx):
+        return jnp.sum(brick_encode(xx, p, spec, compute_dtype=jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params, x)
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+        assert float(jnp.abs(v).sum()) > 0, k
+    gx = jax.grad(loss, argnums=1)(params, x)
+    assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_4d_keyframe_lerp():
+    spec = small_spec(time_keyframes=4)
+    params = spec.init_params(jax.random.PRNGKey(7))
+    x = jax.random.uniform(jax.random.PRNGKey(8), (16, 3), minval=0.05, maxval=0.95)
+
+    def enc(tv):
+        t = jnp.full((16, 1), tv)
+        return np.asarray(brick_encode(x, params, spec, t=t,
+                                       compute_dtype=jnp.float32))
+
+    e0, e1 = enc(0.0), enc(1.0)
+    assert not np.allclose(e0, e1)
+    # interior lerp: t=1/6 is midway between keyframes 0 and 1
+    mid = enc(1.0 / 6.0)
+    third = enc(1.0 / 3.0)
+    np.testing.assert_allclose(mid, (enc(0.0) + third) / 2.0, atol=1e-4)
+    # continuity at t = 1
+    np.testing.assert_allclose(enc(1.0), enc(1.0 - 1e-6), atol=1e-4)
+
+
+def test_field_with_brick_encoder_trains():
+    """DNGPRadianceField(encoder_impl='brick') — forward + grads finite."""
+    from cednerf_tpu.models.field import DNGPRadianceField
+
+    field = DNGPRadianceField(
+        aabb=(-1.5,) * 3 + (1.5,) * 3, n_levels=4, dst_resolution=64,
+        base_resolution=8, log2_hashmap_size=12, encoder_impl="brick",
+        use_feat_predict=True,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+    t = jnp.full((32, 1), 0.5)
+    d = jnp.ones((32, 3))
+    params = field.init(jax.random.PRNGKey(0), x, t, d, return_internal=True)
+
+    def loss(p):
+        rgb, res = field.apply(p, x, t, d, return_internal=True)
+        return jnp.sum(rgb) + jnp.sum(res["density"])
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -1,0 +1,88 @@
+"""Scanned multi-step training path tests (device sampling + lax.scan)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cednerf_tpu.engine.config import ModelFlags, dnerf_config
+from cednerf_tpu.engine.sampling import dnerf_device_data, make_image_stack_sampler
+from cednerf_tpu.engine.train import Trainer
+from cednerf_tpu.models.field import DNGPRadianceField
+
+from synthetic_scene import BallScene
+
+
+def tiny_cfg():
+    return dataclasses.replace(
+        dnerf_config(max_steps=200),
+        target_sample_batch_size=4096, grid_resolution=32,
+        render_step_size=2e-2, max_march_steps=256,
+        occ_warmup_steps=24, occ_update_interval=8,
+    )
+
+
+def tiny_field(cfg):
+    return DNGPRadianceField(
+        aabb=cfg.aabb, n_levels=4, dst_resolution=64, base_resolution=8,
+        log2_hashmap_size=12, moving_step=cfg.moving_step,
+    )
+
+
+def test_run_chunk_trains():
+    cfg = tiny_cfg()
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=0,
+                      device_sampler=scene.device_sampler(), steps_per_call=8)
+    first = trainer.run_chunk()
+    assert trainer.step == 8
+    for _ in range(11):
+        last = trainer.run_chunk()
+    assert trainer.step == 96
+    assert np.isfinite(last["loss"])
+    assert last["mse"] < 0.7 * first["mse"], (first["mse"], last["mse"])
+    # occupancy got updated inside the scan
+    assert bool(jnp.any(trainer.state.occ.binaries))
+
+
+def test_run_dispatches_fast_path():
+    cfg = dataclasses.replace(tiny_cfg(), max_steps=16)
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=1,
+                      device_sampler=scene.device_sampler(), steps_per_call=8)
+    logs = []
+    trainer.run(cfg.max_steps, log_every=8, log_fn=logs.append)
+    assert trainer.step >= 16
+    assert logs  # logged at least once
+
+
+def test_image_stack_sampler_matches_host_rays():
+    """Device sampler ray math == host loader ray math on a DNeRF fixture."""
+    from test_datasets import make_dnerf_fixture
+    from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        make_dnerf_fixture(root)
+        ds = DNeRFSyntheticDataset("lego", root, "train", num_rays=16)
+        data, sample = dnerf_device_data(ds)
+        batch = sample(data, jax.random.PRNGKey(0), 16)
+        assert batch["origins"].shape == (16, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(batch["viewdirs"]), axis=-1), 1.0, atol=1e-5)
+        # cross-check one specific pixel against the host path
+        x = jnp.zeros(4) + 3
+        y = jnp.zeros(4) + 5
+        from cednerf_tpu.engine.sampling import pinhole_rays_device
+        o_dev, d_dev = pinhole_rays_device(x, y, data["K"],
+                                           data["camtoworlds"][jnp.zeros(4, int)],
+                                           True)
+        from cednerf_tpu.datasets.rays import pinhole_rays
+        o_host, d_host, _ = pinhole_rays(
+            np.full(4, 3.0, np.float32), np.full(4, 5.0, np.float32), ds.K,
+            np.broadcast_to(ds.camtoworlds[0], (4, 3, 4)), True)
+        np.testing.assert_allclose(np.asarray(o_dev), o_host, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=1e-5)
