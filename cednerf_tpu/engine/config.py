@@ -63,6 +63,10 @@ class SceneConfig:
     add_cam: bool = False
     eval_s_max: int = 256               # per-ray sample cap for eval rendering
     eval_chunk: int = 4096              # rays per eval chunk
+    # fraction of padded slots given to the compacted field-eval buffer
+    # (engine/renderer.py render_rays compact_budget); utilization stays
+    # ~<=50% under the bucket rule, so 0.625 leaves safety margin
+    compact_fraction: float = 0.625
 
     @property
     def slot_budget(self) -> int:

@@ -94,12 +94,16 @@ def occ_mean_value(occ: OccGridState):
     return jnp.sum(jnp.where(visible, occ.occs, 0.0)) / jnp.maximum(jnp.sum(visible), 1)
 
 
-def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int):
+def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
+                    compact: bool = True):
     """Build the jitted train step for one (n_rays, s_max) bucket.
 
     batch: dict with origins [R,3], viewdirs [R,3], pixels [R,3],
     timestamps [R,1], color_bkgd [3]. R is baked in via the first call's
     shapes (jit cache key); s_max is static here because it shapes the march.
+    `compact=False` disables the compacted field evaluation — used during the
+    occupancy warmup phase when utilization is ~100% and compaction would
+    starve rays.
     """
     tx = make_optimizer(cfg)
 
@@ -121,6 +125,11 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int):
         # Untruncated demand (for host-side bucket selection): how many
         # samples the grid wanted before the per-ray cap.
         occ_mean = occ_mean_value(state.occ)
+        n_slots = batch["origins"].shape[0] * s_max
+        compact_budget = (
+            -(-int(cfg.compact_fraction * n_slots) // 1024) * 1024
+            if compact else None
+        )
 
         def loss_fn(params):
             out = render_rays(
@@ -128,6 +137,7 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int):
                 batch["origins"], batch["viewdirs"], samples,
                 batch["timestamps"], batch["color_bkgd"], occ_mean,
                 alpha_thre=cfg.alpha_thre, train=True,
+                compact_budget=compact_budget,
             )
             mse = jnp.mean((out.rgb - batch["pixels"]) ** 2)
             loss = mse
@@ -174,7 +184,7 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int):
 
 
 def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
-                    n_rays: int, sample_fn, k_steps: int):
+                    n_rays: int, sample_fn, k_steps: int, compact: bool = True):
     """K train steps per dispatch: lax.scan over the jitted step.
 
     Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
@@ -210,12 +220,18 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
             stratified_key=k_march,
         )
         occ_mean = occ_mean_value(state.occ)
+        n_slots = batch["origins"].shape[0] * s_max
+        compact_budget = (
+            -(-int(cfg.compact_fraction * n_slots) // 1024) * 1024
+            if compact else None
+        )
 
         def loss_fn(params):
             out = render_rays(
                 field, params, batch["origins"], batch["viewdirs"], samples,
                 batch["timestamps"], batch["color_bkgd"], occ_mean,
                 alpha_thre=cfg.alpha_thre, train=True,
+                compact_budget=compact_budget,
             )
             mse = jnp.mean((out.rgb - batch["pixels"]) ** 2)
             loss = mse
@@ -306,11 +322,17 @@ class Trainer:
             np.asarray(dataset.timestamps_pool, np.float32).reshape(-1, 1)
         )
 
+    def _compact_now(self) -> bool:
+        # compaction starves rays while the grid is still dense; enable it
+        # once occupancy warmup has carved free space
+        return self.step >= self.cfg.occ_warmup_steps
+
     def _step_fn(self, s_max: int):
-        if s_max not in self._step_fns:
-            self._step_fns[s_max] = make_train_step(self.field, self.cfg, self.flags,
-                                                    s_max)
-        return self._step_fns[s_max]
+        key = (s_max, self._compact_now())
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(self.field, self.cfg, self.flags,
+                                                  s_max, compact=key[1])
+        return self._step_fns[key]
 
     def run_step(self) -> dict:
         cfg = self.cfg
@@ -341,12 +363,12 @@ class Trainer:
     # ---------------- scanned multi-step fast path ---------------- #
 
     def _loop_fn(self, n_rays: int, s_max: int):
-        keyed = (n_rays, s_max)
+        keyed = (n_rays, s_max, self._compact_now())
         if keyed not in self._loop_fns:
             data, sample_fn = self.device_sampler
             self._loop_fns[keyed] = make_train_loop(
                 self.field, self.cfg, self.flags, s_max, n_rays, sample_fn,
-                self.steps_per_call,
+                self.steps_per_call, compact=keyed[2],
             )
         return self._loop_fns[keyed]
 
