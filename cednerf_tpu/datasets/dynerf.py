@@ -200,6 +200,26 @@ class DyNeRFDataset:
                 self.sampling_weights = w.reshape(-1)
                 self.sampling_weights /= self.sampling_weights.sum()
                 self.sampling = sampling
+        self._native = None
+        if self.training and read_image:
+            self._build_native(seed)
+
+    def _build_native(self, seed: int):
+        """Multithreaded C++ batch sampler (csrc/raysampler.cpp) — the host-
+        side hot path for DyNeRF's multi-GB frame stacks; falls back to the
+        numpy path automatically when no toolchain is available."""
+        from . import native
+
+        if not native.available():
+            return
+        weights = None
+        if self.sampling_weights is not None:
+            weights = self.sampling_weights
+        self._native = native.NativeRaySampler(
+            self.images, self.poses, self.K, self.timestamps,
+            opengl_camera=OPENGL_CAMERA, weights=weights,
+            subsample=self.weights_subsampled, seed=seed,
+        )
 
     @staticmethod
     def _base_subject(subject_id):
@@ -226,6 +246,8 @@ class DyNeRFDataset:
             self.sampling_weights = w.reshape(-1).astype(np.float32)
             self.sampling_weights /= self.sampling_weights.sum()
             self.sampling = "ist"
+            if self._native is not None:
+                self._build_native(0)
 
     def __len__(self):
         return len(self.poses)
@@ -276,6 +298,15 @@ class DyNeRFDataset:
 
     def sample(self, num_rays: int, key=None) -> dict:
         rng = self._rng
+        if self._native is not None:
+            origins, viewdirs, pixels, ts = self._native.sample(num_rays)
+            return {
+                "origins": origins,
+                "viewdirs": viewdirs,
+                "pixels": pixels,
+                "timestamps": ts.reshape(-1, 1),
+                "color_bkgd": self._bkgd(rng),
+            }
         image_id, x, y = self._draw_pixel_ids(num_rays, rng)
         pixels = self.images[image_id, y, x].astype(np.float32) / 255.0
         c2w = self.poses[image_id]
