@@ -145,7 +145,19 @@ def main():
         write_video("depth_render.mp4", depth_frames, fps=20)
 
     if args.gui:
-        print("GUI viewer: not available in this build yet (tracked in ROADMAP).")
+        # web-based orbit viewer with time scrubber (reference gui.py parity)
+        from cednerf_tpu.viewer import ViewerServer
+
+        train_poses = (np.asarray(train_dataset.camtoworlds)
+                       if train_dataset is not None and
+                       hasattr(train_dataset, "camtoworlds") else None)
+        K = getattr(test_dataset, "K", None)
+        server = ViewerServer(
+            field, state.params, state.occ, cfg, train_poses=train_poses,
+            K=K, wh=(test_dataset.width, test_dataset.height),
+            render_bkgd=(jnp.ones(3) if cfg.family == "dnerf" else jnp.zeros(3)),
+        )
+        server.serve(port=8890)
 
 
 if __name__ == "__main__":
