@@ -184,7 +184,8 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
 
 
 def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
-                    n_rays: int, sample_fn, k_steps: int, compact: bool = True):
+                    n_rays: int, sample_fn, k_steps: int, compact: bool = True,
+                    warmup_phase: bool = False):
     """K train steps per dispatch: lax.scan over the jitted step.
 
     Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
@@ -269,13 +270,18 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
             k_occ, k_batch, k_step = jax.random.split(k_all, 3)
 
             def do_update(occ):
-                return jax.lax.cond(
-                    step < cfg.occ_warmup_steps,
-                    lambda: occ_update_inline(state.params, occ, timestamps_pool,
-                                              k_occ, True),
-                    lambda: occ_update_inline(state.params, occ, timestamps_pool,
-                                              k_occ, False),
-                )
+                # the all-cells warmup branch is a large subprogram; it is
+                # only compiled into the warmup-phase loop
+                if warmup_phase:
+                    return jax.lax.cond(
+                        step < cfg.occ_warmup_steps,
+                        lambda: occ_update_inline(state.params, occ,
+                                                  timestamps_pool, k_occ, True),
+                        lambda: occ_update_inline(state.params, occ,
+                                                  timestamps_pool, k_occ, False),
+                    )
+                return occ_update_inline(state.params, occ, timestamps_pool,
+                                         k_occ, False)
 
             occ = jax.lax.cond(
                 step % cfg.occ_update_interval == 0,
@@ -363,12 +369,13 @@ class Trainer:
     # ---------------- scanned multi-step fast path ---------------- #
 
     def _loop_fn(self, n_rays: int, s_max: int):
-        keyed = (n_rays, s_max, self._compact_now())
+        warmup = not self._compact_now()
+        keyed = (n_rays, s_max, warmup)
         if keyed not in self._loop_fns:
             data, sample_fn = self.device_sampler
             self._loop_fns[keyed] = make_train_loop(
                 self.field, self.cfg, self.flags, s_max, n_rays, sample_fn,
-                self.steps_per_call, compact=keyed[2],
+                self.steps_per_call, compact=not warmup, warmup_phase=warmup,
             )
         return self._loop_fns[keyed]
 
