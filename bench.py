@@ -52,7 +52,10 @@ def main():
     # compile (a few bucket switches each trigger one compile).
     warmup_steps = 320
     while trainer.step < warmup_steps:
-        trainer.run_chunk()
+        m = trainer.run_chunk()
+        print(f"# warmup step={trainer.step} loss={m['loss']:.4f} "
+              f"bucket={m['num_rays']}x{m['s_max']} nsamp={int(m['n_samples'])}",
+              file=sys.stderr, flush=True)
 
     # Timed run.
     bench_steps = 320

@@ -397,7 +397,10 @@ class Trainer:
         self.step += self.steps_per_call
 
         mean_samples = float(jnp.mean(metrics["n_samples"]))
-        if mean_samples > 0:
+        # bucket adaptation starts after warmup: the grid is dense until then
+        # (the initial max-s_max bucket fits that), and freezing the shape
+        # avoids compiling warmup-phase programs for transient buckets
+        if mean_samples > 0 and self._compact_now():
             self.bucket = cfg.pick_bucket(mean_samples / n_rays)
         return {
             "loss": float(jnp.mean(metrics["loss"])),
