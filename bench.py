@@ -12,7 +12,6 @@ end-to-end on HyperNeRF vrig_3dprinter (2^18 samples/step, 20k steps, 425 s).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import dataclasses
 import json
 import sys
 import time
@@ -24,17 +23,16 @@ BASELINE_SAMPLES_PER_SEC = 12e6
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    from cednerf_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
     sys.path.insert(0, "tests")
-    from synthetic_scene import BallScene
+    from synthetic_scene import BallCloudScene
 
     from cednerf_tpu.engine.cli import build_field
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config
     from cednerf_tpu.engine.train import Trainer
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # Flagship flags (the published combination -te -ta -f -ae -df -d).
     flags = ModelFlags(
@@ -43,31 +41,40 @@ def main():
     )
     cfg = dnerf_config(max_steps=100000)
     field = build_field(cfg, flags)
-    scene = BallScene(n_cams=8, wh=128, n_times=8)
+    # dense dynamic scene: ~50% of rays hit geometry, tens of samples/ray in
+    # steady state — comparable per-ray load to the reference's real captures
+    scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
 
     trainer = Trainer(field, cfg, flags, scene, seed=0,
                       device_sampler=scene.device_sampler(), steps_per_call=16)
 
-    # Warmup: let occupancy carve the scene + buckets settle + everything
-    # compile (a few bucket switches each trigger one compile).
-    warmup_steps = 320
-    while trainer.step < warmup_steps:
-        m = trainer.run_chunk()
-        print(f"# warmup step={trainer.step} loss={m['loss']:.4f} "
+    def log(m):
+        print(f"# step={trainer.step} loss={m['loss']:.4f} "
               f"bucket={m['num_rays']}x{m['s_max']} nsamp={int(m['n_samples'])}",
               file=sys.stderr, flush=True)
 
-    # Timed run.
+    # Warmup: occupancy carving (warmup-loop program), then a few chunks of
+    # bucket adaptation (steady program per visited bucket), then freeze the
+    # shape so the timed section runs exactly one cached program.
+    t_start = time.perf_counter()
+    while trainer.step < 320:
+        log(trainer.run_chunk())
+    while trainer.step < 384:
+        log(trainer.run_chunk())
+    trainer.adapt_bucket = False
+    print(f"# warmup+compile done in {time.perf_counter() - t_start:.0f}s",
+          file=sys.stderr, flush=True)
+
+    # Timed run. block_until_ready does not synchronize through remote TPU
+    # attachments — fetch a metric scalar to the host instead.
     bench_steps = 320
-    jax.block_until_ready(trainer.state.params)
-    t0 = time.perf_counter()
     total_samples = 0
     steps_done = 0
+    t0 = time.perf_counter()
     while steps_done < bench_steps:
-        m = trainer.run_chunk()
+        m = trainer.run_chunk()  # run_chunk fetches metrics -> host sync
         total_samples += int(m["n_samples"]) * int(m["steps"])
         steps_done += int(m["steps"])
-    jax.block_until_ready(trainer.state.params)
     elapsed = time.perf_counter() - t0
 
     samples_per_sec = total_samples / elapsed

@@ -47,82 +47,37 @@ def render_rays(
       timestamps: [R, 1] per-ray times (train) or broadcastable scalar (eval).
       occ_mean: mean occupancy value — during training nerfacc clamps the
         alpha-pruning threshold by it (OccGridEstimator.sampling semantics).
-      compact_budget: when set, the field is queried only on a fixed-size
-        buffer of the valid samples (gather -> field -> scatter back). Padded
-        slots beyond the valid mask then cost one skinny gather/scatter row
-        instead of a full field evaluation. Valid samples beyond the budget
-        are dropped from the render (the bucket feedback keeps utilization
-        below the budget in steady state).
+      compact_budget: when set, the field is queried on at most this many
+        sample slots. march_rays packs each ray's valid samples into its
+        leading slots, so truncating the sample axis at ceil(budget / n_rays)
+        implements the budget as an extra per-ray cap (deepest samples of
+        over-long rays drop first) with zero data movement — the
+        compile-friendly replacement for a nonzero/scatter compaction, whose
+        XLA graph was pathological to compile.
     """
     r, s = samples.t_starts.shape
+    if compact_budget is not None and compact_budget < r * s:
+        s_eval = max(-(-compact_budget // r), 1)
+        samples = RaySamples(
+            t_starts=samples.t_starts[:, :s_eval],
+            t_ends=samples.t_ends[:, :s_eval],
+            mask=samples.mask[:, :s_eval],
+        )
+        r, s = samples.t_starts.shape
     t_mid = (samples.t_starts + samples.t_ends) / 2.0
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]  # [R,S,3]
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3))
     t = jnp.broadcast_to(jnp.reshape(timestamps, (-1, 1, 1)), (r, s, 1))
 
-    if compact_budget is not None and compact_budget < r * s:
-        b = compact_budget
-        # sample-major selection order: if the budget overflows, the *deepest*
-        # samples of every ray are dropped uniformly (an extra per-ray cap),
-        # instead of whole later rays disappearing
-        (sel_t,) = jnp.nonzero(samples.mask.T.reshape(-1), size=b, fill_value=r * s)
-        sel = jnp.where(sel_t < r * s, (sel_t % r) * s + sel_t // r, r * s)
-        sel_valid = sel < r * s
-        sel_c = jnp.minimum(sel, r * s - 1)
-        rgb_c, res_c = field.apply(
-            params,
-            pos.reshape(-1, 3)[sel_c],
-            t.reshape(-1, 1)[sel_c],
-            dirs.reshape(-1, 3)[sel_c],
-            return_internal=train,
-        )
-        # pack the compact outputs into one wide row, scatter back once
-        cols = [res_c["density"].astype(jnp.float32), rgb_c.astype(jnp.float32)]
-        layout = {"density": (0, 1), "rgb": (1, 4)}
-        off = 4
-        if train and "internal" in res_c:
-            internal_c = res_c["internal"]
-            for k in ("latent_losses", "weight_losses"):
-                if k in internal_c:
-                    v = internal_c[k].astype(jnp.float32)
-                    cols.append(v)
-                    layout[k] = (off, off + v.shape[-1])
-                    off += v.shape[-1]
-            cols.append(internal_c["selector"].astype(jnp.float32)[:, None])
-            layout["selector"] = (off, off + 1)
-            off += 1
-        packed = jnp.concatenate(cols, axis=-1) * sel_valid[:, None]
-        dense = jnp.zeros((r * s, packed.shape[-1]), jnp.float32)
-        # scatter with the *unclipped* indices: padding rows are out of bounds
-        # and dropped, so they can never clobber the last real slot
-        dense = dense.at[sel].set(packed, mode="drop")
-
-        def col(name):
-            lo, hi = layout[name]
-            return dense[:, lo:hi]
-
-        sigmas = col("density").reshape(r, s)
-        rgbs = col("rgb").reshape(r, s, 3)
-        sigma_results = {"density": sigmas.reshape(-1, 1)}
-        if train and "internal" in res_c:
-            internal = {"selector": col("selector").reshape(-1)}
-            for k in ("latent_losses", "weight_losses"):
-                if k in layout:
-                    internal[k] = col(k)
-            sigma_results["internal"] = internal
-        # samples beyond the budget did not render: remove from the mask
-        kept = jnp.zeros((r * s,), bool).at[sel].set(True, mode="drop")
-        samples = samples._replace(mask=samples.mask & kept.reshape(r, s))
-    else:
-        rgbs, sigma_results = field.apply(
-            params,
-            pos.reshape(-1, 3),
-            t.reshape(-1, 1),
-            dirs.reshape(-1, 3),
-            return_internal=train,
-        )
-        rgbs = rgbs.reshape(r, s, 3)
-        sigmas = sigma_results["density"].reshape(r, s).astype(jnp.float32)
+    rgbs, sigma_results = field.apply(
+        params,
+        pos.reshape(-1, 3),
+        t.reshape(-1, 1),
+        dirs.reshape(-1, 3),
+        return_internal=train,
+    )
+    rgbs = rgbs.reshape(r, s, 3)
+    sigmas = sigma_results["density"].reshape(r, s).astype(jnp.float32)
 
     mask = samples.mask
     if alpha_thre > 0:

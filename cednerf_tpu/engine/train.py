@@ -305,9 +305,13 @@ class Trainer:
     """
 
     def __init__(self, field, cfg: SceneConfig, flags: ModelFlags, dataset,
-                 seed: int = 42, device_sampler=None, steps_per_call: int = 16):
+                 seed: int = 42, device_sampler=None, steps_per_call: int = 16,
+                 adapt_bucket: bool = True):
         """device_sampler: optional (data_pytree, sample_fn) pair
-        (engine/sampling.py) enabling the scanned multi-step fast path."""
+        (engine/sampling.py) enabling the scanned multi-step fast path.
+        adapt_bucket=False freezes the (n_rays, s_max) bucket after warmup —
+        one steady-state program instead of one per visited bucket (used by
+        bench runs where compile count matters)."""
         self.field = field
         self.cfg = cfg
         self.flags = flags
@@ -322,6 +326,7 @@ class Trainer:
         self._loop_fns = {}
         self.device_sampler = device_sampler
         self.steps_per_call = steps_per_call
+        self.adapt_bucket = adapt_bucket
         self._occ_warm = make_occ_update_fn(field, cfg, all_cells=True)
         self._occ_sampled = make_occ_update_fn(field, cfg, all_cells=False)
         self.timestamps_pool = jnp.asarray(
@@ -357,7 +362,7 @@ class Trainer:
         # bucket feedback (the reference's dynamic batch resize,
         # train_real.py:354-360): aim s_max ~= 2x measured mean samples/ray
         n_samples = int(metrics["n_samples"])
-        if n_samples > 0:
+        if n_samples > 0 and self.adapt_bucket:
             mean_per_ray = n_samples / n_rays
             self.bucket = cfg.pick_bucket(mean_per_ray)
 
@@ -400,7 +405,7 @@ class Trainer:
         # bucket adaptation starts after warmup: the grid is dense until then
         # (the initial max-s_max bucket fits that), and freezing the shape
         # avoids compiling warmup-phase programs for transient buckets
-        if mean_samples > 0 and self._compact_now():
+        if mean_samples > 0 and self._compact_now() and self.adapt_bucket:
             self.bucket = cfg.pick_bucket(mean_samples / n_rays)
         return {
             "loss": float(jnp.mean(metrics["loss"])),

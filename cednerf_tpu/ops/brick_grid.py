@@ -1,37 +1,46 @@
 """Brick-layout multiresolution hash grid — the TPU-first hot-path encoder.
 
 Why this exists: the straightforward NGP table layout ([rows, F=2], one gather
-per corner) forces XLA to read a full (8,128) HBM tile (512B) per 8-byte row —
-measured ~0.7 GB/s effective on v5e, with the backward scatter-add per-row
-overhead-bound (~10M rows/s). This module restructures the *storage layout*
-so that one gathered row is exactly one HBM tile:
+per corner) makes XLA issue 8 tiny (8-byte-row) gathers per sample-level —
+per-row overhead-bound and ~20x slower than necessary. This module
+restructures the *storage layout* so one gathered row carries a full
+interpolation neighborhood, and shapes everything around measured v5e rates
+(XLA row gather ~300-430 M rows/s, scatter-add ~150 M rows/s, both per-row
+overhead-bound rather than bandwidth-bound at 512-byte rows):
 
   * each table row holds a 4x4x4 "brick" of corner features
-    (64 corners x 2 feats = 128 floats = 512 B);
+    (64 corners x F feats; F=2 -> 128 floats = 512 B = one lane-aligned row);
   * a brick covers 3x3x3 cells, so every cell's 8 interpolation corners live
-    in a single row -> ONE gather per (sample, level) instead of eight;
-  * trilinear interpolation becomes a [64]-wide masked outer-product einsum
-    on the VPU (no second gather);
-  * the backward pass is a scatter-add of 512-byte rows (measured ~23x faster
-    than 8-byte-row scatter).
+    in a single row -> ONE row gather per (sample, level) instead of eight;
+  * trilinear interpolation is an elementwise weight multiply + one skinny
+    [N, 64F] @ [64F, F] MXU matmul (batched-matvec einsums lower poorly);
+  * every level's table is capped at `max_table_rows` (default 16384 rows =
+    8 MB fp32) — uncapped tables ballooned XLA compile time into minutes and
+    parameter memory into GBs for zero gather-rate benefit;
+  * the backward runs through an analytic custom VJP (`_make_level_encode`):
+    one scatter-add of weighted cotangent rows for the table gradient plus a
+    per-axis derivative-weight contraction for the input-position gradient
+    (needed by the motion warp). Autodiff through the weight outer product
+    materialized [N,4,4,4,F] intermediates and took minutes to compile.
 
 Semantics vs the reference NGP hash grid (hash_encoder_half.py:37-229):
-  * DENSE levels (grid fits the parameter budget): exact. The parameters are
+  * DENSE levels (brick count <= max_table_rows): exact. The parameters are
     the canonical corner grid [X, Y, Z, F]; bricks are materialized per step
     as 64 overlapping strided slices (pure bandwidth, fully differentiable),
     so shared corners stay shared.
   * HASHED levels: hashing happens at brick granularity (xor-prime hash of
-    the brick coordinate) instead of per corner. Collision structure differs
-    from NGP's per-corner hashing — features are C0-discontinuous across
-    brick boundaries at these (fine) levels, where cells are sub-pixel. The
-    per-level parameter count is brick_rows * 64 with
-    brick_rows = 2^log2_hashmap_size / 16, i.e. 4x the corner count of the
-    reference at the same setting (still ~1/27 of the dense grid).
+    the brick coordinate, primes per hash_encoder_half.py:71) instead of per
+    corner. Collision structure differs from NGP's per-corner hashing —
+    features are C0-discontinuous across brick boundaries at these (fine)
+    levels, where cells are sub-pixel. At the capped 16384 rows a level holds
+    2^20 corner slots (the reference's log2_hashmap_size=21 default holds
+    2^21 hashed corners per level).
 
 Resolution schedule matches the reference (base * exp(l * log_b)).
 """
 
 import dataclasses
+import functools
 import math
 from typing import List, Optional, Tuple
 
@@ -48,7 +57,16 @@ CORNERS_PER_BRICK = 64   # 4^3
 
 @dataclasses.dataclass(frozen=True)
 class BrickGridSpec:
-    """Static config for the brick-layout grid (3D, or 4D with keyframes)."""
+    """Static config for the brick-layout grid (3D, or 4D with keyframes).
+
+    `max_table_rows` caps every level's table (dense or hashed) so it stays
+    VMEM-resident on TPU (16384 rows x 512 B = 8 MB <= ~16 MB VMEM/core).
+    Measured on a v5e: row gathers/scatters are per-row overhead-bound
+    (~50-100 M rows/s) regardless of table size, but capped tables bound the
+    parameter memory, keep XLA compile time sane (giant dense materializations
+    were the pathology), and leave headroom for wider rows (larger
+    n_features) which carry more payload per gather.
+    """
 
     n_levels: int = 16
     n_features: int = 2
@@ -56,6 +74,7 @@ class BrickGridSpec:
     max_res: int = 4096
     log2_hashmap_size: int = 19
     time_keyframes: int = 0
+    max_table_rows: int = 16384
 
     @property
     def log_b(self) -> float:
@@ -79,6 +98,7 @@ class BrickGridSpec:
     def level_layout(self) -> List[dict]:
         """Per-level static layout descriptors."""
         hashed_rows = max(2 ** self.log2_hashmap_size // 16, 1)
+        hashed_rows = min(hashed_rows, self.max_table_rows)
         out = []
         for lvl in range(self.n_levels):
             res = level_resolution(level_scale(lvl, self.log_b, self.base_res))
@@ -142,27 +162,62 @@ def _materialize_dense_bricks(grid, n_bricks_axis: int):
     return jnp.stack(parts, axis=1).reshape(nb ** 3, CORNERS_PER_BRICK * f)
 
 
-def _corner_weights(intra, frac, dtype):
-    """[N, 64] trilinear weights scattered into brick-corner slots.
+def _corner_weights(intra, frac, dtype, n_features: int = 1):
+    """[N, 64 * n_features] trilinear weights in brick-corner-row layout.
 
     intra: [N, 3] int cell position within the brick (0..2);
     frac:  [N, 3] fractional position within the cell.
     Per-dim 4-vector w[k] = (k==i)*(1-f) + (k==i+1)*f; the 64-weight tensor
-    is their outer product (corner index = dx*16 + dy*4 + dz).
+    is their outer product (corner index = dx*16 + dy*4 + dz). With
+    n_features > 1 each weight is replicated across that corner's feature
+    lanes (row layout [c0 f0..fF, c1 f0..fF, ...]) so the result multiplies a
+    gathered table row elementwise — built directly at full row width so XLA
+    fuses it into the consumer instead of materializing a repeat.
     """
     k = jnp.arange(BRICK_CORNERS, dtype=jnp.int32)
     lo = (k[None, None, :] == intra[:, :, None]).astype(dtype)
     hi = (k[None, None, :] == (intra[:, :, None] + 1)).astype(dtype)
     f = frac[:, :, None].astype(dtype)
     w = lo * (1.0 - f) + hi * f  # [N, 3, 4]
-    w64 = (
-        w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
-    )  # [N, 4, 4, 4]
-    return w64.reshape(-1, CORNERS_PER_BRICK)
+    if n_features == 1:
+        w64 = (
+            w[:, 0, :, None, None] * w[:, 1, None, :, None]
+            * w[:, 2, None, None, :]
+        )  # [N, 4, 4, 4]
+        return w64.reshape(-1, CORNERS_PER_BRICK)
+    wf = (
+        w[:, 0, :, None, None, None] * w[:, 1, None, :, None, None]
+        * w[:, 2, None, None, :, None]
+    )  # [N, 4, 4, 4, 1]
+    wf = jnp.broadcast_to(
+        wf, (wf.shape[0], BRICK_CORNERS, BRICK_CORNERS, BRICK_CORNERS, n_features)
+    )
+    return wf.reshape(-1, CORNERS_PER_BRICK * n_features)
 
 
-def _level_rows_and_weights(x, lvl: int, lay: dict, spec: BrickGridSpec):
-    """Brick row index + corner weights for one level. x: [N, 3] in [0,1]."""
+def _feature_selector(n_features: int, dtype):
+    """Static [64*F, F] 0/1 matrix: row c*F+f -> column f.
+
+    (g * w_row) @ selector sums each feature's 64 weighted corners with one
+    skinny MXU matmul — the TPU-friendly form of the per-sample interpolation
+    reduce (batched-matvec einsums lower poorly)."""
+    rows = np.arange(CORNERS_PER_BRICK * n_features)
+    sel = (rows[:, None] % n_features == np.arange(n_features)[None, :])
+    return jnp.asarray(sel.astype(np.float32), dtype)
+
+
+def _level_rows_and_weights(x, lvl: int, lay: dict, spec: BrickGridSpec,
+                            full_width: bool = False,
+                            weight_dtype=jnp.float32):
+    """Brick row index + corner weights for one level. x: [N, 3] in [0,1].
+
+    full_width=True returns weights at the gathered-row width
+    (64 * n_features, feature lanes replicated) for elementwise use.
+    weight_dtype: the outer-product weights (and hence their backward
+    intermediates, which dominate the input-position gradient cost) are
+    built in this dtype; bf16 on TPU halves that traffic at ~8-bit mantissa
+    position-grad precision (the reference's fp16 tcnn grads are comparable,
+    hash_encoder_half.py:164-227)."""
     scale = level_scale(lvl, spec.log_b, spec.base_res)
     pos = x * jnp.asarray(scale, x.dtype) + 0.5
     pos_grid = jnp.floor(pos)
@@ -184,17 +239,140 @@ def _level_rows_and_weights(x, lvl: int, lay: dict, spec: BrickGridSpec):
     else:
         nb = lay["n_bricks_axis"]
         rows = (brick[:, 0] * nb + brick[:, 1]) * nb + brick[:, 2]
-    weights = _corner_weights(intra, frac, jnp.float32)
+    weights = _corner_weights(intra, frac.astype(weight_dtype), weight_dtype,
+                              n_features=spec.n_features if full_width else 1)
     return rows, weights
 
 
+def _level_geom(x, scale: float, nb: int, hashed: bool, n_rows: int):
+    """Rows + intra-brick cell + fraction for one level (recomputable).
+
+    Returns (rows [N] i32, intra [N,3] i32, frac [N,3] f32,
+    ok [N,3] f32 -- 1 where the cell was not edge-clamped, gating d_x)."""
+    pos = x.astype(jnp.float32) * jnp.float32(scale) + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    cell_raw = pos_grid.astype(jnp.int32)
+    hi = nb * BRICK_CELLS - 1
+    cell = jnp.clip(cell_raw, 0, hi)
+    ok = ((cell_raw >= 0) & (cell_raw <= hi)).astype(jnp.float32)
+    brick = cell // BRICK_CELLS
+    intra = cell - brick * BRICK_CELLS
+    if hashed:
+        b = brick.astype(jnp.uint32)
+        h = (
+            b[:, 0] * jnp.uint32(_PRIMES[0])
+            ^ b[:, 1] * jnp.uint32(_PRIMES[1])
+            ^ b[:, 2] * jnp.uint32(_PRIMES[2])
+        )
+        rows = (h % jnp.uint32(n_rows)).astype(jnp.int32)
+    else:
+        rows = (brick[:, 0] * nb + brick[:, 1]) * nb + brick[:, 2]
+    return rows, intra, frac, ok
+
+
+def _axis_factors(intra, frac, dtype):
+    """Per-axis 4-corner weights and their d/dfrac. [N,3,4] each."""
+    k = jnp.arange(BRICK_CORNERS, dtype=jnp.int32)
+    lo = (k[None, None, :] == intra[:, :, None]).astype(dtype)
+    hi = (k[None, None, :] == (intra[:, :, None] + 1)).astype(dtype)
+    f = frac[:, :, None].astype(dtype)
+    w = lo * (1.0 - f) + hi * f
+    dw = hi - lo
+    return w, dw
+
+
+def _w_lanes(w, n_features: int):
+    """Outer product of per-axis factors, expanded to row lanes [N, 64*F]."""
+    wf = (
+        w[:, 0, :, None, None, None] * w[:, 1, None, :, None, None]
+        * w[:, 2, None, None, :, None]
+    )
+    n = w.shape[0]
+    wf = jnp.broadcast_to(
+        wf, (n, BRICK_CORNERS, BRICK_CORNERS, BRICK_CORNERS, n_features)
+    )
+    return wf.reshape(n, CORNERS_PER_BRICK * n_features)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
+                       n_feat: int, dtype_name: str,
+                       table_dtype_name: str = "float32"):
+    """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
+
+    The autodiff backward through the trilinear-weight outer product
+    materializes [N, 4,4,4, F] intermediates and explodes XLA compile time;
+    this VJP instead recomputes geometry (pointwise), scatters
+    `w * dL/dout` into the table, and contracts `gathered * dL/dout` with the
+    per-axis derivative weights for the input-position gradient — no saved
+    activations at all (residuals are just (table, x)). Math parity target:
+    the reference Taichi backward (hash_encoder_half.py:164-227), which
+    computes the same two gradients.
+    """
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+
+    def fwd_impl(table, x):
+        rows, intra, frac, _ = _level_geom(x, scale, nb, hashed, n_rows)
+        w, _ = _axis_factors(intra, frac, cdtype)
+        w_full = _w_lanes(w, F)
+        feats = jnp.take(table.astype(cdtype), rows, axis=0)
+        sel = _feature_selector(F, cdtype)
+        out = jnp.dot(feats * w_full, sel, preferred_element_type=jnp.float32)
+        return out.astype(cdtype), feats
+
+    @jax.custom_vjp
+    def enc(table, x):
+        return fwd_impl(table, x)[0]
+
+    def fwd(table, x):
+        # saving the gathered rows (bf16) costs one linear HBM write/read,
+        # cheaper than re-gathering 1 row/sample in the backward
+        out, feats = fwd_impl(table, x)
+        return out, (x, feats)
+
+    def bwd(res, g):
+        x, feats = res
+        n = x.shape[0]
+        rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        w, dw = _axis_factors(intra, frac, cdtype)
+        gout = jnp.tile(g.astype(cdtype), (1, CORNERS_PER_BRICK))  # [N, 64F]
+        upd = _w_lanes(w, F) * gout
+        d_table = jnp.zeros((n_rows, W), jnp.float32).at[rows].add(
+            upd.astype(jnp.float32))
+        h = (feats * gout).reshape(n, BRICK_CORNERS, BRICK_CORNERS,
+                                   BRICK_CORNERS, F)
+        hf = jnp.sum(h, axis=-1)  # [N,4,4,4]
+        wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
+        dwx, dwy, dwz = dw[:, 0], dw[:, 1], dw[:, 2]
+
+        def contract(ax_, ay_, az_):
+            t = hf * ax_[:, :, None, None] * ay_[:, None, :, None] \
+                * az_[:, None, None, :]
+            return jnp.sum(t, axis=(1, 2, 3)).astype(jnp.float32)
+
+        d_frac = jnp.stack(
+            [contract(dwx, wy, wz), contract(wx, dwy, wz),
+             contract(wx, wy, dwz)], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        return d_table.astype(jnp.dtype(table_dtype_name)), d_x.astype(x.dtype)
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
 def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, use_custom_vjp: bool = True):
     """Multiresolution brick-grid encoding.
 
     Args:
       x: [N, 3] unit-cube positions; t: [N, 1] times (4D specs only).
       params: dict from BrickGridSpec.init_params.
+      use_custom_vjp: route 3D levels through the analytic-backward level
+        encode (compile-time/runtime win); False keeps pure autodiff
+        (reference path for gradient tests).
     Returns [N, n_levels * n_features] in compute_dtype.
     """
     n = x.shape[0]
@@ -207,34 +385,59 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
         idx_lo = jnp.clip(jnp.floor(t_scaled), 0, k - 2).astype(jnp.int32)
         t_frac = (t_scaled - idx_lo.astype(t_scaled.dtype)).astype(jnp.float32)
 
+    sel = _feature_selector(f, compute_dtype)
     outs = []
     for lvl, lay in enumerate(layouts):
-        rows, w = _level_rows_and_weights(x, lvl, lay, spec)
+        scale = level_scale(lvl, spec.log_b, spec.base_res)
+        if not spec.time_keyframes:
+            if lay["hashed"]:
+                table = params[f"bricks_{lvl}"]
+            else:
+                table = _materialize_dense_bricks(
+                    params[f"grid_{lvl}"], lay["n_bricks_axis"]
+                )
+            if use_custom_vjp:
+                enc = _make_level_encode(
+                    float(scale), lay["n_bricks_axis"], lay["hashed"],
+                    lay["rows"], f, jnp.dtype(compute_dtype).name,
+                    table.dtype.name)
+                outs.append(enc(table, x))
+            else:
+                rows, w = _level_rows_and_weights(
+                    x, lvl, lay, spec, full_width=True,
+                    weight_dtype=compute_dtype)
+                feats = jnp.take(table.astype(compute_dtype), rows, axis=0)
+                # interpolation as elementwise weight multiply + one skinny
+                # MXU matmul — no [N, 64F] fp32 intermediates hit HBM
+                out = jnp.dot(
+                    feats * w.astype(compute_dtype), sel,
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(out.astype(compute_dtype))
+            continue
+        rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,
+                                          weight_dtype=compute_dtype)
         if lay["hashed"]:
             # stored keyframe-major: [rows, K, 64, F]
-            table = params[f"bricks_{lvl}"]
+            table = params[f"bricks_{lvl}"].astype(compute_dtype)
         else:
             table = _materialize_dense_bricks(
                 params[f"grid_{lvl}"], lay["n_bricks_axis"]
-            )  # [rows, 64, K*F] corner-major
-            if k > 1:
-                nb3 = table.shape[0]
-                table = (
-                    table.reshape(nb3, CORNERS_PER_BRICK, k, f)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(nb3, k * spec.row_width)
-                )
-        if spec.time_keyframes:
-            # gather only the two relevant keyframe slices (512B rows each)
-            flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
-            lo = jnp.take(flat, rows * k + idx_lo, axis=0)
-            hi = jnp.take(flat, rows * k + idx_lo + 1, axis=0)
-            feats = lo * (1.0 - t_frac[:, None]) + hi * t_frac[:, None]
-        else:
-            feats = jnp.take(table, rows, axis=0)  # [N, 64*F]
-        feats = feats.reshape(n, CORNERS_PER_BRICK, f)
-        out = jnp.einsum(
-            "nc,ncf->nf", w, feats.astype(jnp.float32),
+            ).astype(compute_dtype)  # [rows, 64, K*F] corner-major
+            nb3 = table.shape[0]
+            table = (
+                table.reshape(nb3, CORNERS_PER_BRICK, k, f)
+                .transpose(0, 2, 1, 3)
+                .reshape(nb3, k * spec.row_width)
+            )
+        # gather only the two relevant keyframe slices (512B rows each)
+        flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
+        lo = jnp.take(flat, rows * k + idx_lo, axis=0)
+        hi = jnp.take(flat, rows * k + idx_lo + 1, axis=0)
+        tfc = t_frac[:, None].astype(compute_dtype)
+        feats = lo * (1.0 - tfc) + hi * tfc
+        out = jnp.dot(
+            feats * w.astype(compute_dtype), sel,
             preferred_element_type=jnp.float32,
         )
         outs.append(out.astype(compute_dtype))

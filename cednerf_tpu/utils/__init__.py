@@ -1,1 +1,2 @@
+from .cache import enable_compile_cache  # noqa: F401
 from .math import trunc_exp  # noqa: F401

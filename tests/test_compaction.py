@@ -1,5 +1,7 @@
-"""Compacted field evaluation must match the dense path when the budget
-covers all valid samples, and degrade gracefully (masked drop) when not."""
+"""Budgeted field evaluation (compact_budget): march packs each ray's valid
+samples into its leading slots, so the budget is implemented as a sample-axis
+truncation. It must match the dense path when the truncation keeps every
+valid sample, and degrade gracefully (per-ray deepest-sample drop) when not."""
 
 import numpy as np
 import jax
@@ -25,18 +27,21 @@ def _setup(seed=0, r=8, s=16):
     viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
     t0 = jnp.asarray(np.cumsum(rng.uniform(0.01, 0.05, (r, s)), 1), jnp.float32)
     t1 = t0 + 0.02
-    mask = jnp.asarray(rng.uniform(size=(r, s)) > 0.4)
+    # front-packed validity, the march_rays output contract
+    counts = rng.integers(3, s - 2, size=r)
+    mask = jnp.asarray(np.arange(s)[None, :] < counts[:, None])
     samples = RaySamples(t_starts=t0, t_ends=t1, mask=mask)
     ts = jnp.full((r, 1), 0.5)
     bkgd = jnp.asarray([1.0, 1.0, 1.0])
     return field, params, origins, viewdirs, samples, ts, bkgd
 
 
-def test_compacted_matches_dense_when_budget_sufficient():
+def test_budgeted_matches_dense_when_budget_sufficient():
     field, params, o, d, samples, ts, bkgd = _setup()
     dense = render_rays(field, params, o, d, samples, ts, bkgd, train=True)
-    budget = 8 * 16 - 16  # < r*s so the compact path engages; > n_valid
-    assert budget > int(samples.mask.sum())
+    max_per_ray = int(samples.mask.sum(-1).max())
+    budget = 8 * max_per_ray  # truncation keeps every valid sample
+    assert budget < 8 * 16
     compact = render_rays(field, params, o, d, samples, ts, bkgd, train=True,
                           compact_budget=budget)
     np.testing.assert_allclose(np.asarray(compact.rgb), np.asarray(dense.rgb),
@@ -52,9 +57,10 @@ def test_compacted_matches_dense_when_budget_sufficient():
                                rtol=1e-3, atol=1e-5)
 
 
-def test_compacted_gradients_match_dense():
+def test_budgeted_gradients_match_dense():
     field, params, o, d, samples, ts, bkgd = _setup(seed=1)
     target = jnp.full((8, 3), 0.5)
+    max_per_ray = int(samples.mask.sum(-1).max())
 
     def loss(p, budget):
         out = render_rays(field, p, o, d, samples, ts, bkgd, train=True,
@@ -62,7 +68,7 @@ def test_compacted_gradients_match_dense():
         return jnp.mean((out.rgb - target) ** 2) + jnp.mean(out.extras["latent_losses"])
 
     g_dense = jax.grad(lambda p: loss(p, None))(params)
-    g_comp = jax.grad(lambda p: loss(p, 8 * 16 - 16))(params)
+    g_comp = jax.grad(lambda p: loss(p, 8 * max_per_ray))(params)
     # bf16 compute differs in rounding between the two batch shapes; require
     # agreement to bf16-level precision only
     for a, b in zip(jax.tree_util.tree_leaves(g_comp),
@@ -71,11 +77,14 @@ def test_compacted_gradients_match_dense():
                                    atol=1e-4)
 
 
-def test_overflow_drops_samples_but_stays_finite():
+def test_overflow_drops_deepest_samples_but_stays_finite():
     field, params, o, d, samples, ts, bkgd = _setup(seed=2)
     n_valid = int(samples.mask.sum())
     small = max(8, n_valid // 2)
     out = render_rays(field, params, o, d, samples, ts, bkgd, train=True,
                       compact_budget=small)
-    assert int(out.n_samples) <= small
+    # per-ray cap: each ray keeps at most ceil(small / r) samples
+    s_eval = -(-small // 8)
+    assert int(out.n_samples) == int(np.minimum(
+        np.asarray(samples.mask.sum(-1)), s_eval).sum())
     assert np.isfinite(np.asarray(out.rgb)).all()

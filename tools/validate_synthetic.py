@@ -1,0 +1,115 @@
+"""Quality/throughput validation on the procedural dynamic scene.
+
+Trains the flagship model (published flag combination) on tests'
+BallScene for --steps steps, reporting the training PSNR trajectory and a
+held-out eval render PSNR (novel camera, mid-sequence time). No dataset
+files needed — this is the in-container stand-in for the reference's
+empirical PSNR validation (SURVEY §4), and the gate for encoder layout
+experiments (e.g. n_levels/n_features tradeoffs).
+
+Usage: python tools/validate_synthetic.py [--steps 2000] [--levels 16]
+       [--features 2] [--out /tmp/val]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--levels", type=int, default=16)
+    ap.add_argument("--features", type=int, default=2)
+    ap.add_argument("--scene", choices=("ball", "cloud"), default="ball")
+    ap.add_argument("--grid_type", choices=("hash3d", "hash4d", "triplane"),
+                    default="hash3d")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cednerf_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
+    from synthetic_scene import BallCloudScene, BallScene
+    from cednerf_tpu.engine.cli import build_field
+    from cednerf_tpu.engine.config import ModelFlags, dnerf_config
+    from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+    from cednerf_tpu.engine.train import Trainer
+    from cednerf_tpu.utils.metrics import psnr
+
+    flags = ModelFlags(
+        use_div_offsets=True, use_feat_predict=True, use_time_embedding=True,
+        use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
+        grid_type=args.grid_type,
+    )
+    cfg = dnerf_config(max_steps=args.steps)
+    field = build_field(cfg, flags).clone(
+        n_levels=args.levels, n_features_per_level=args.features)
+    scene_cls = BallCloudScene if args.scene == "cloud" else BallScene
+    scene = scene_cls(n_cams=8, wh=128, n_times=8)
+    trainer = Trainer(field, cfg, flags, scene, seed=0,
+                      device_sampler=scene.device_sampler(), steps_per_call=16)
+
+    t0 = time.perf_counter()
+    history = []
+    while trainer.step < args.steps:
+        m = trainer.run_chunk()
+        if trainer.step % 256 < trainer.steps_per_call:
+            history.append((trainer.step, m["psnr"]))
+            print(f"step={trainer.step} psnr={m['psnr']:.2f} "
+                  f"bucket={m['num_rays']}x{m['s_max']} "
+                  f"nsamp={int(m['n_samples'])}", flush=True)
+    train_s = time.perf_counter() - t0
+
+    render_fn = make_eval_render_fn(field, cfg)
+
+    # Train-view render through the SAME eval path (cam 0 is at theta=0,
+    # t=3/7 is a training time): separates eval-renderer bugs from
+    # undertraining — a converged model must reproduce this view.
+    t_train = float(scene.times[3])
+    tv = scene.image_rays(0, t_train)
+    rgb_tv, _, _ = render_image(field, trainer.state.params, trainer.state.occ,
+                                render_fn, tv["origins"], tv["viewdirs"],
+                                jnp.float32(t_train), jnp.ones(3))
+    train_view_psnr = float(psnr(jnp.asarray(rgb_tv), jnp.asarray(tv["pixels"])))
+
+    # Held-out eval: novel camera angle + mid-time (not in the train set).
+    gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=0.43)
+    rgb, _, _ = render_image(field, trainer.state.params, trainer.state.occ,
+                             render_fn, origins, viewdirs,
+                             jnp.float32(0.43), jnp.ones(3))
+    eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
+
+    result = {
+        "steps": args.steps,
+        "levels": args.levels,
+        "features": args.features,
+        "train_seconds": round(train_s, 1),
+        "final_train_psnr": round(history[-1][1], 2) if history else None,
+        "train_view_psnr": round(train_view_psnr, 2),
+        "eval_psnr": round(eval_psnr, 2),
+    }
+    print(json.dumps(result))
+    if args.out:
+        out = pathlib.Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        from cednerf_tpu.utils.image import write_png
+        write_png(out / "eval_rgb.png", np.asarray(rgb))
+        write_png(out / "eval_gt.png", np.asarray(gt))
+        write_png(out / "train_view_rgb.png", np.asarray(rgb_tv))
+        write_png(out / "train_view_gt.png", np.asarray(tv["pixels"]))
+        (out / "result.json").write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cednerf_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     from cednerf_tpu.engine.renderer import render_image
     from cednerf_tpu.engine.train_prop import (
         PropConfig,

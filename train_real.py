@@ -46,6 +46,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cednerf_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     from cednerf_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
     from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
     from cednerf_tpu.engine.train import Trainer, create_train_state
