@@ -34,6 +34,15 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="use accumulated opacities as entropy loss")
     parser.add_argument("--render_video", action="store_true", help="render video")
     parser.add_argument("--load_model", action="store_true", help="load model")
+    # TPU-build extension: the reference's alternative encoders are code
+    # swaps (model.py:253-260); here they are a flag.
+    parser.add_argument("--grid_type", type=str, default="hash3d",
+                        choices=["hash3d", "hash4d", "triplane"],
+                        help="spatial encoder: motion-warped 3D hash grid "
+                             "(reference default), 4D xyz+t keyframe grid, "
+                             "or factored tri-planes")
+    parser.add_argument("--hash4motion", action="store_true",
+                        help="hash-grid motion net variant (model.py:165-199)")
     return parser
 
 
@@ -48,6 +57,8 @@ def flags_from_args(args) -> ModelFlags:
         distortion_loss=args.distortion_loss,
         weight_rgbper=args.weight_rgbper,
         acc_entropy_loss=args.acc_entropy_loss,
+        grid_type=getattr(args, "grid_type", "hash3d"),
+        hash4motion=getattr(args, "hash4motion", False),
     )
 
 

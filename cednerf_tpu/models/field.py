@@ -34,6 +34,7 @@ from ..ops.encoders import (
     sinusoidal_latent_dim,
 )
 from ..ops.hash_grid import HashGridSpec, hash_encode, hash_encode_4d
+from ..ops.triplane import TriPlaneSpec, triplane_encode
 from ..utils.math import trunc_exp
 
 DEFAULT_MOVING_STEP = 1.0 / 4096.0  # model.py:26
@@ -120,6 +121,22 @@ class HashGridEncoder(nn.Module):
         return hash_encode(x, table, self.spec, compute_dtype=self.dtype)
 
 
+class TriPlaneEncoderModule(nn.Module):
+    """Tri-plane factored spatial encoder (alternative to the hash grid).
+
+    Parity with the reference's TriPlaneEncoder swap option
+    (cednerf/taichi_kernel/triplane.py:136-249; swap site model.py:253-260).
+    """
+
+    spec: TriPlaneSpec
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, t: Optional[jnp.ndarray] = None):
+        planes = self.param("planes", lambda key: self.spec.init_planes(key))
+        return triplane_encode(x, planes, self.spec, compute_dtype=self.dtype)
+
+
 class NGPDensityField(nn.Module):
     """Instant-NGP density field used for proposal-network resampling.
 
@@ -182,7 +199,8 @@ class DNGPRadianceField(nn.Module):
     time_inject_before_sigma: bool = True
     hash4motion: bool = False
     use_viewdirs: bool = True
-    grid_type: str = "hash3d"  # "hash3d" (motion-warped) or "hash4d" (time keyframes)
+    grid_type: str = "hash3d"  # "hash3d" (motion-warped), "hash4d" (time
+    # keyframes), or "triplane" (factored planes, reference swap option)
     time_keyframes: int = 4  # only for grid_type == "hash4d"
     encoder_impl: str = "brick"  # hot-path layout: "brick" (TPU-first) or "gather"
 
@@ -197,8 +215,19 @@ class DNGPRadianceField(nn.Module):
             time_keyframes=self.time_keyframes if self.grid_type == "hash4d" else 0,
         )
 
+    @property
+    def triplane_spec(self) -> TriPlaneSpec:
+        return TriPlaneSpec(plane_res=self.dst_resolution,
+                            n_features=self.n_features_per_level)
+
+    @property
+    def encoder_output_dim(self) -> int:
+        if self.grid_type == "triplane":
+            return self.triplane_spec.output_dim
+        return self.hash_spec.output_dim
+
     def setup(self):
-        assert self.grid_type in ("hash3d", "hash4d")
+        assert self.grid_type in ("hash3d", "hash4d", "triplane")
         motion_out = 6 if self.use_div_offsets else 3
         if self.hash4motion:
             # HashGrid(xyz, 8 levels, 16->2048) + Frequency(t) -> 1-hidden MLP
@@ -213,12 +242,15 @@ class DNGPRadianceField(nn.Module):
             # Frequency(xyzt, 4 octaves) -> 3-hidden MLP (model.py:201-222).
             self.motion_mlp = MLP(out_dim=motion_out, hidden_layers=3)
 
-        self.hash_encoder = HashGridEncoder(self.hash_spec, impl=self.encoder_impl)
+        if self.grid_type == "triplane":
+            self.hash_encoder = TriPlaneEncoderModule(self.triplane_spec)
+        else:
+            self.hash_encoder = HashGridEncoder(self.hash_spec, impl=self.encoder_impl)
 
         self.mlp_base = MLP(out_dim=1 + self.geo_feat_dim, hidden_layers=1)
         self.mlp_head = MLP(out_dim=3, hidden_layers=2)
         if self.use_feat_predict:
-            self.mlp_feat_prediction = MLP(out_dim=self.hash_spec.output_dim, hidden_layers=1)
+            self.mlp_feat_prediction = MLP(out_dim=self.encoder_output_dim, hidden_layers=1)
         if self.use_weight_predict:
             self.mlp_weight_prediction = MLP(out_dim=1, hidden_layers=1)
 

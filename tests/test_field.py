@@ -129,6 +129,27 @@ def test_hash4d_grid_type():
     assert not np.allclose(np.asarray(res0["density"]), np.asarray(res1["density"]))
 
 
+def test_triplane_grid_type():
+    field = small_field(grid_type="triplane", use_feat_predict=True)
+    params = init_field(field)
+    planes = params["params"]["hash_encoder"]["planes"]
+    assert planes.shape == (3 * 64 * 64, 2)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (8, 3), minval=-1, maxval=1)
+    rgb, res = field.apply(params, x, jnp.full((8, 1), 0.5), jnp.ones((8, 3)),
+                           return_internal=True)
+    assert rgb.shape == (8, 3)
+    # feat-predict head targets the tri-plane feature width (4 groups/level)
+    assert res["internal"]["latent_losses"].shape == (8, field.encoder_output_dim)
+
+    def loss(p):
+        rgb, _ = field.apply(p, x, jnp.full((8, 1), 0.5), jnp.ones((8, 3)))
+        return jnp.sum(rgb ** 2)
+
+    g = jax.grad(loss)(params)
+    g_planes = g["params"]["hash_encoder"]["planes"]
+    assert float(jnp.sum(jnp.abs(g_planes))) > 0.0
+
+
 def test_gradients_flow_everywhere():
     field = small_field(use_feat_predict=True, use_time_embedding=True,
                         use_time_attenuation=True, use_div_offsets=True)
