@@ -50,7 +50,8 @@ def main():
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "
-              f"bucket={m['num_rays']}x{m['s_max']} nsamp={int(m['n_samples'])}",
+              f"rays={m['num_rays']} nsamp={int(m['n_samples'])} "
+              f"demand={int(m.get('n_valid', 0))}",
               file=sys.stderr, flush=True)
 
     # Warmup: occupancy carving (warmup-loop program), then a few chunks of

@@ -63,44 +63,57 @@ class SceneConfig:
     add_cam: bool = False
     eval_s_max: int = 256               # per-ray sample cap for eval rendering
     eval_chunk: int = 4096              # rays per eval chunk
-    # fraction of padded slots given to the compacted field-eval buffer
-    # (engine/renderer.py render_rays compact_budget); utilization stays
-    # ~<=50% under the bucket rule, so 0.625 leaves safety margin
-    compact_fraction: float = 0.625
+    # the ray-count feedback targets demand = this fraction of sample_budget,
+    # leaving headroom so budget overflow (dropped rays) stays rare
+    budget_headroom: float = 0.95
+    # ray blocks compacted independently (engine/renderer.py compact_select);
+    # set to the device count so the compaction stays shard-local on a mesh
+    compact_blocks: int = 1
 
     @property
-    def slot_budget(self) -> int:
-        """Padded sample-slot budget per train step.
+    def sample_budget(self) -> int:
+        """Fixed field-evaluation batch per train step (compacted samples).
 
-        2x the reference's valid-sample target so that at ~50% buffer
-        utilization the *realized* sample count matches the reference's
-        dynamic-batching target (train_real.py:354-360).
+        Matches the reference's dynamic-batching sample target
+        (train_real.py:354-360); the field always evaluates exactly this many
+        sample slots, and the host adapts the *ray count* so the valid-sample
+        demand tracks it — one steady-state XLA program per ray bucket.
         """
-        return 2 * self.target_sample_batch_size
+        return self.target_sample_batch_size
 
-    def buckets(self) -> Tuple[Tuple[int, int], ...]:
-        """(n_rays, s_max) shape buckets, all with n_rays * s_max == slot_budget.
+    def ray_buckets(self) -> Tuple[int, ...]:
+        """Allowed ray counts: a ~2^(1/4) geometric ladder of multiples of 64.
 
-        The TPU replacement for per-step dynamic ray-batch resizing: the host
-        picks the bucket whose per-ray cap s_max ~= 2x the measured mean
-        samples/ray, bounding recompilation to a handful of cached shapes.
+        Bucket utilization of the fixed sample budget is headroom/ratio ..
+        headroom, so the ratio directly bounds wasted field-eval slots
+        (2^(1/4) => >=80% at headroom 0.95). Each bucket is one compiled
+        program; runs visit only the few buckets their demand drifts through
+        (cached on disk across runs).
+
+        The floor keeps warmup legal: with a fully dense grid every candidate
+        is valid, so demand = n_rays * max_march_steps must be able to sit at
+        ~the budget.
         """
-        out = []
-        s_max = 1024
-        while s_max >= 16:
-            n_rays = self.slot_budget // s_max
-            if n_rays >= 256:
-                out.append((n_rays, s_max))
-            s_max //= 2
+        lo = max(self.sample_budget // self.max_march_steps, 64)
+        lo = -(-lo // 64) * 64
+        hi = self.sample_budget // 16  # cap: >=16 expected samples/ray
+        out = [lo]
+        while True:
+            n = -(-int(out[-1] * 2 ** 0.25) // 64) * 64
+            if n > hi:
+                break
+            out.append(n)
         return tuple(out)
 
-    def pick_bucket(self, mean_samples_per_ray: float) -> Tuple[int, int]:
-        """Bucket whose s_max is the smallest power of two >= 2x the mean."""
-        desired = max(mean_samples_per_ray, 1.0) * 2.0
-        for n_rays, s_max in reversed(self.buckets()):  # ascending s_max
-            if s_max >= desired:
-                return (n_rays, s_max)
-        return self.buckets()[0]  # largest s_max
+    def pick_ray_bucket(self, mean_samples_per_ray: float) -> int:
+        """Largest bucket whose expected demand fits inside the headroom."""
+        desired = self.budget_headroom * self.sample_budget / max(
+            mean_samples_per_ray, 1.0)
+        buckets = self.ray_buckets()
+        for n in reversed(buckets):
+            if n <= desired:
+                return n
+        return buckets[0]
 
 
 def _milestones(max_steps: int, extra_56: bool = False) -> Tuple[int, ...]:

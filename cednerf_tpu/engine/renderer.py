@@ -13,7 +13,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.occupancy import OccGridState, RaySamples, march_rays
+from ..ops.occupancy import OccGridState, RayCandidates, RaySamples, march_rays
 from ..ops.render import composite, reduce_along_rays, render_weights_from_density
 from .config import SceneConfig
 
@@ -24,6 +24,184 @@ class RenderResult(NamedTuple):
     depth: jnp.ndarray      # [R, 1]
     n_samples: jnp.ndarray  # scalar: valid rendered samples
     extras: dict
+
+
+def compact_select(valid, budget: int, n_blocks: int = 1):
+    """Select up to `budget` valid candidates in flat (ray-major) order.
+
+    valid: [R, M] bool. Returns:
+      sel  [budget] i32 — flat candidate indices (ascending within each
+           block); R*M marks an unused slot;
+      kept [R, M] bool — valid candidates that made the cut. Overflow drops
+           the *last* rays' samples of a block, which the train loss
+           neutralizes with the per-ray `complete` flag.
+
+    Built from one cumsum + one scatter of unique indices — the
+    compile-friendly form (jnp.nonzero's path and unsorted scatters were
+    pathological on TPU). `n_blocks > 1` splits the rays into contiguous
+    blocks, each compacted to budget/n_blocks independently: with blocks
+    aligned to a ray-sharded device mesh the cumsum/scatter stay
+    shard-local instead of forcing a global collective.
+    """
+    r, m = valid.shape
+    n = r * m
+    assert r % n_blocks == 0 and budget % n_blocks == 0
+    nb = n // n_blocks
+    bb = budget // n_blocks
+
+    def one_block(flat):
+        dest = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        write = flat & (dest < bb)
+        # Non-written entries get distinct out-of-bounds slots so the scatter
+        # can legally claim unique indices (mode="drop" discards them).
+        scat = jnp.where(write, dest, bb + jnp.arange(nb, dtype=jnp.int32))
+        sel = (
+            jnp.full((bb,), nb, jnp.int32)
+            .at[scat]
+            .set(jnp.arange(nb, dtype=jnp.int32), mode="drop",
+                 unique_indices=True)
+        )
+        return sel, write
+
+    sel_b, write_b = jax.vmap(one_block)(valid.reshape(n_blocks, nb))
+    base = (jnp.arange(n_blocks, dtype=jnp.int32) * nb)[:, None]
+    sel = jnp.where(sel_b < nb, sel_b + base, n).reshape(-1)
+    return sel, write_b.reshape(r, m)
+
+
+def render_rays_budget(
+    field,
+    params,
+    origins,
+    viewdirs,
+    cand: RayCandidates,
+    timestamps,
+    render_bkgd,
+    occ_mean: Optional[jnp.ndarray] = None,
+    *,
+    budget: int,
+    alpha_thre: float = 0.0,
+    train: bool = True,
+    n_blocks: int = 1,
+) -> RenderResult:
+    """Budgeted train-path rendering: evaluate the field on at most `budget`
+    valid marching candidates (cross-ray compaction), scatter the results back
+    to the dense [R, M] lattice, and composite there.
+
+    This is the TPU replacement for the reference's dynamic ray batching
+    (train_real.py:354-360): the field-evaluation shape is *fixed* at `budget`
+    regardless of scene occupancy, so XLA compiles one steady-state program;
+    the host adapts the ray count so the valid-candidate demand tracks the
+    budget. extras["complete"] is 1.0 for rays none of whose valid samples
+    were dropped by the budget — the loss masks out incomplete rays.
+    """
+    r, m = cand.valid.shape
+    n = r * m
+    sel, kept = compact_select(cand.valid, budget, n_blocks=n_blocks)
+    sel_valid = sel < n
+    sel_c = jnp.minimum(sel, n - 1)
+    srt = n_blocks == 1  # sel ascending only in the single-block layout
+    ray = sel_c // m
+
+    o = jnp.take(origins, ray, axis=0, indices_are_sorted=srt)
+    d = jnp.take(viewdirs, ray, axis=0, indices_are_sorted=srt)
+    ts = jnp.take(jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,)),
+                  ray, indices_are_sorted=srt)
+    t0s = jnp.take(cand.t_starts.reshape(-1), sel_c, indices_are_sorted=srt)
+    dts = jnp.take(cand.dts.reshape(-1), sel_c, indices_are_sorted=srt)
+    pos = o + d * (t0s + 0.5 * dts)[:, None]
+
+    rgb_c, res_c = field.apply(params, pos, ts[:, None], d, return_internal=train)
+
+    # Pack per-sample outputs into one row and scatter back once. Channel
+    # budget matters: the dense buffer is [R*M, C] fp32.
+    cols = [res_c["density"].astype(jnp.float32).reshape(-1, 1),
+            rgb_c.astype(jnp.float32)]
+    layout = {"density": (0, 1), "rgb": (1, 4)}
+    off = 4
+    internal_c = res_c.get("internal") if train else None
+    if internal_c is not None:
+        if "latent_losses" in internal_c:
+            # channel-mean first: mean_{rays,chan}(sum_s w*h[s,c]) ==
+            # mean_rays(sum_s w * mean_c h) — a [B,1] scalar per sample
+            # instead of a [B, 32] block through the scatter.
+            cols.append(jnp.mean(internal_c["latent_losses"], axis=-1,
+                                 keepdims=True).astype(jnp.float32))
+            layout["latent"] = (off, off + 1)
+            off += 1
+        if "weight_losses" in internal_c:
+            cols.append(internal_c["weight_losses"].astype(jnp.float32))
+            layout["p_weight"] = (off, off + 1)
+            off += 1
+            cols.append(internal_c["selector"].astype(jnp.float32)[:, None])
+            layout["selector"] = (off, off + 1)
+            off += 1
+    packed = jnp.concatenate(cols, axis=-1) * sel_valid[:, None]
+    # Unused sel slots get distinct out-of-bounds rows -> unique (and sorted
+    # in the single-block layout).
+    scat = jnp.where(sel_valid, sel,
+                     n + jnp.arange(budget, dtype=jnp.int32))
+    dense = (
+        jnp.zeros((n, packed.shape[-1]), jnp.float32)
+        .at[scat]
+        .set(packed, mode="drop", unique_indices=True, indices_are_sorted=srt)
+    )
+
+    def col(name):
+        lo, hi = layout[name]
+        return dense[:, lo:hi]
+
+    sigmas = col("density").reshape(r, m)
+    rgbs = col("rgb").reshape(r, m, 3)
+
+    mask = kept
+    if alpha_thre > 0:
+        thre = alpha_thre if occ_mean is None else jnp.minimum(alpha_thre, occ_mean)
+        alpha_raw = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas) * cand.dts)
+        mask = mask & (alpha_raw > thre)
+
+    t_starts, t_ends = cand.t_starts, cand.t_ends
+    weights, trans, alphas = render_weights_from_density(
+        t_starts, t_ends, sigmas, mask
+    )
+    rgb, opacity, depth = composite(
+        weights, rgbs, t_starts, t_ends, mask, render_bkgd
+    )
+
+    extras = {
+        "weights": weights,
+        "trans": trans,
+        "alphas": alphas,
+        "sigmas": sigmas,
+        "rgbs": rgbs,
+        "mask": mask,
+        "t_starts": t_starts,
+        "t_ends": t_ends,
+        # rays whose valid samples all survived the budget (loss mask)
+        "complete": jnp.logical_not(
+            jnp.any(cand.valid & jnp.logical_not(kept), axis=-1)
+        ).astype(jnp.float32),
+        # untruncated demand, for the host's ray-count feedback
+        "n_valid": jnp.sum(cand.valid),
+    }
+    if internal_c is not None:
+        if "latent" in layout:
+            extras["latent_losses"] = reduce_along_rays(
+                col("latent").reshape(r, m, 1), mask,
+                weights=jax.lax.stop_gradient(weights), reduce="sum",
+            )
+        if "p_weight" in layout:
+            from ..models.field import huber
+
+            wl = huber(col("p_weight").reshape(r, m), trans) \
+                * col("selector").reshape(r, m)
+            extras["weight_losses"] = reduce_along_rays(
+                wl[..., None], mask, weights=weights, reduce="mean"
+            )
+
+    n_samples = jnp.sum(mask)
+    return RenderResult(rgb=rgb, opacity=opacity, depth=depth,
+                        n_samples=n_samples, extras=extras)
 
 
 def render_rays(

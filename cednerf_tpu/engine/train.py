@@ -9,8 +9,10 @@ Parity targets in the reference:
   * occupancy update every 16 steps with random-t density probes
     (train_real.py:324-336)
   * dynamic ray batching targeting a constant sample count
-    (train_real.py:354-360) — rebuilt as a small set of bucketed
-    (n_rays, s_max) shapes so XLA recompiles a handful of times, not per step.
+    (train_real.py:354-360) — rebuilt as a *fixed* compacted field-evaluation
+    budget (engine/renderer.py render_rays_budget) plus a small set of
+    power-of-two ray-count buckets, so XLA compiles a handful of programs,
+    not one per step.
 
 The whole step (march + render + losses + Adam update) is one jitted program;
 occupancy updates are two more (warmup / sampled). bf16 compute, fp32 params —
@@ -26,9 +28,10 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import losses as L
-from ..ops.occupancy import OccGridState, create_occ_grid, march_rays, update_occ_grid
+from ..ops.occupancy import (OccGridState, create_occ_grid, march_candidates,
+                             update_occ_grid)
 from .config import ModelFlags, SceneConfig
-from .renderer import render_rays
+from .renderer import render_rays_budget
 
 
 class TrainState(NamedTuple):
@@ -94,23 +97,18 @@ def occ_mean_value(occ: OccGridState):
     return jnp.sum(jnp.where(visible, occ.occs, 0.0)) / jnp.maximum(jnp.sum(visible), 1)
 
 
-def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
-                    compact: bool = True):
-    """Build the jitted train step for one (n_rays, s_max) bucket.
+def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx):
+    """The shared un-jitted train step: march + budgeted render + losses + Adam.
 
     batch: dict with origins [R,3], viewdirs [R,3], pixels [R,3],
-    timestamps [R,1], color_bkgd [3]. R is baked in via the first call's
-    shapes (jit cache key); s_max is static here because it shapes the march.
-    `compact=False` disables the compacted field evaluation — used during the
-    occupancy warmup phase when utilization is ~100% and compaction would
-    starve rays.
+    timestamps [R,1], color_bkgd [3]. The field-evaluation shape is fixed at
+    `budget` samples; rays whose samples were dropped by the budget are
+    masked out of the per-ray losses via the `complete` flag.
     """
-    tx = make_optimizer(cfg)
 
-    @jax.jit
-    def train_step(state: TrainState, batch, key):
+    def one_step(state: TrainState, batch, key):
         k_march, = jax.random.split(key, 1)
-        samples = march_rays(
+        cand = march_candidates(
             state.occ,
             batch["origins"],
             batch["viewdirs"],
@@ -119,39 +117,35 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
             render_step_size=cfg.render_step_size,
             cone_angle=cfg.cone_angle,
             max_march_steps=cfg.max_march_steps,
-            s_max=s_max,
             stratified_key=k_march,
         )
-        # Untruncated demand (for host-side bucket selection): how many
-        # samples the grid wanted before the per-ray cap.
         occ_mean = occ_mean_value(state.occ)
-        n_slots = batch["origins"].shape[0] * s_max
-        compact_budget = (
-            -(-int(cfg.compact_fraction * n_slots) // 1024) * 1024
-            if compact else None
-        )
 
         def loss_fn(params):
-            out = render_rays(
+            out = render_rays_budget(
                 field, params,
-                batch["origins"], batch["viewdirs"], samples,
+                batch["origins"], batch["viewdirs"], cand,
                 batch["timestamps"], batch["color_bkgd"], occ_mean,
-                alpha_thre=cfg.alpha_thre, train=True,
-                compact_budget=compact_budget,
+                budget=budget, alpha_thre=cfg.alpha_thre, train=True,
+                n_blocks=cfg.compact_blocks,
             )
-            mse = jnp.mean((out.rgb - batch["pixels"]) ** 2)
-            loss = mse
             extras = out.extras
-            # opt-in regularizers (train_real.py:369-409)
+            complete = extras["complete"]  # [R] 1.0 where no sample dropped
+            denom = jnp.maximum(jnp.sum(complete), 1.0)
+            sq = jnp.sum((out.rgb - batch["pixels"]) ** 2, axis=-1)
+            mse = jnp.sum(complete * sq) / (3.0 * denom)
+            loss = mse
+            # opt-in regularizers (train_real.py:369-409); per-ray terms are
+            # complete-masked, per-sample terms already zero on dropped rays
             if flags.use_opacity_loss:
-                loss += L.opacity_loss(out.opacity) * 1e-3
+                loss += L.opacity_loss(out.opacity, ray_weights=complete) * 1e-3
             if flags.distortion_loss:
                 loss += L.distortion_loss(
                     extras["weights"], extras["t_starts"], extras["t_ends"],
                     extras["mask"],
                 ) * 1e-3
             if flags.acc_entropy_loss:
-                loss += L.acc_entropy_loss(out.opacity) * 1e-3
+                loss += L.acc_entropy_loss(out.opacity, ray_weights=complete) * 1e-3
             if flags.weight_rgbper:
                 loss += L.rgbper_loss(
                     extras["rgbs"], batch["pixels"],
@@ -164,6 +158,7 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
             aux = {
                 "mse": mse,
                 "n_samples": out.n_samples,
+                "n_valid": extras["n_valid"],
                 "max_depth": jnp.max(out.depth),
             }
             return loss, aux
@@ -174,18 +169,34 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
         metrics = {
             "loss": loss,
             "mse": aux["mse"],
-            "psnr": -10.0 * jnp.log(aux["mse"]) / jnp.log(10.0),
-            "n_samples": aux["n_samples"],
+            "n_samples": aux["n_samples"].astype(jnp.float32),
+            "n_valid": aux["n_valid"].astype(jnp.float32),
             "max_depth": aux["max_depth"],
         }
         return TrainState(params=params, opt_state=opt_state, occ=state.occ), metrics
 
+    return one_step
+
+
+def make_train_step(field, cfg: SceneConfig, flags: ModelFlags,
+                    budget: Optional[int] = None):
+    """Jitted single train step (see _make_one_step for the batch contract)."""
+    tx = make_optimizer(cfg)
+    one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget, tx)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        state, metrics = one_step(state, batch, key)
+        metrics["psnr"] = -10.0 * jnp.log(metrics["mse"]) / jnp.log(10.0)
+        return state, metrics
+
     return train_step
 
 
-def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
-                    n_rays: int, sample_fn, k_steps: int, compact: bool = True,
-                    warmup_phase: bool = False):
+def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
+                    n_rays: int, sample_fn, k_steps: int,
+                    warmup_phase: bool = False,
+                    budget: Optional[int] = None):
     """K train steps per dispatch: lax.scan over the jitted step.
 
     Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
@@ -211,55 +222,7 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags, s_max: int,
             ema_decay=cfg.occ_ema_decay, all_cells=warm,
         )
 
-    def one_step(state: TrainState, batch, key):
-        k_march, = jax.random.split(key, 1)
-        samples = march_rays(
-            state.occ, batch["origins"], batch["viewdirs"],
-            near_plane=cfg.near_plane, far_plane=cfg.far_plane,
-            render_step_size=cfg.render_step_size, cone_angle=cfg.cone_angle,
-            max_march_steps=cfg.max_march_steps, s_max=s_max,
-            stratified_key=k_march,
-        )
-        occ_mean = occ_mean_value(state.occ)
-        n_slots = batch["origins"].shape[0] * s_max
-        compact_budget = (
-            -(-int(cfg.compact_fraction * n_slots) // 1024) * 1024
-            if compact else None
-        )
-
-        def loss_fn(params):
-            out = render_rays(
-                field, params, batch["origins"], batch["viewdirs"], samples,
-                batch["timestamps"], batch["color_bkgd"], occ_mean,
-                alpha_thre=cfg.alpha_thre, train=True,
-                compact_budget=compact_budget,
-            )
-            mse = jnp.mean((out.rgb - batch["pixels"]) ** 2)
-            loss = mse
-            extras = out.extras
-            if flags.use_opacity_loss:
-                loss += L.opacity_loss(out.opacity) * 1e-3
-            if flags.distortion_loss:
-                loss += L.distortion_loss(extras["weights"], extras["t_starts"],
-                                          extras["t_ends"], extras["mask"]) * 1e-3
-            if flags.acc_entropy_loss:
-                loss += L.acc_entropy_loss(out.opacity) * 1e-3
-            if flags.weight_rgbper:
-                loss += L.rgbper_loss(extras["rgbs"], batch["pixels"],
-                                      jax.lax.stop_gradient(extras["weights"]),
-                                      extras["mask"]) * 1e-3
-            if flags.use_feat_predict:
-                loss += jnp.mean(extras["latent_losses"])
-            if flags.use_weight_predict:
-                loss += jnp.mean(extras["weight_losses"])
-            return loss, {"mse": mse, "n_samples": out.n_samples}
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "mse": aux["mse"],
-                   "n_samples": aux["n_samples"].astype(jnp.float32)}
-        return TrainState(params=params, opt_state=opt_state, occ=state.occ), metrics
+    one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget, tx)
 
     @jax.jit
     def train_loop(state: TrainState, data, timestamps_pool, key, step0):
@@ -320,8 +283,9 @@ class Trainer:
         self.key, init_key = jax.random.split(self.key)
         self.state = create_train_state(field, cfg, init_key)
         self.step = 0
-        # start at the largest per-ray cap: early training has a dense grid
-        self.bucket = cfg.buckets()[0]
+        # start at the smallest ray bucket: early training has a dense grid,
+        # so demand/ray ~ max_march_steps and the budget fits few rays
+        self.bucket = cfg.ray_buckets()[0]
         self._step_fns = {}
         self._loop_fns = {}
         self.device_sampler = device_sampler
@@ -333,54 +297,50 @@ class Trainer:
             np.asarray(dataset.timestamps_pool, np.float32).reshape(-1, 1)
         )
 
-    def _compact_now(self) -> bool:
-        # compaction starves rays while the grid is still dense; enable it
-        # once occupancy warmup has carved free space
-        return self.step >= self.cfg.occ_warmup_steps
+    def _warmup_now(self) -> bool:
+        return self.step < self.cfg.occ_warmup_steps
 
-    def _step_fn(self, s_max: int):
-        key = (s_max, self._compact_now())
-        if key not in self._step_fns:
-            self._step_fns[key] = make_train_step(self.field, self.cfg, self.flags,
-                                                  s_max, compact=key[1])
-        return self._step_fns[key]
+    def _step_fn(self):
+        if "step" not in self._step_fns:
+            self._step_fns["step"] = make_train_step(self.field, self.cfg,
+                                                     self.flags)
+        return self._step_fns["step"]
 
     def run_step(self) -> dict:
         cfg = self.cfg
         self.key, k_occ, k_batch, k_step = jax.random.split(self.key, 4)
 
         if self.step % cfg.occ_update_interval == 0:
-            occ_fn = self._occ_warm if self.step < cfg.occ_warmup_steps else self._occ_sampled
+            occ_fn = self._occ_warm if self._warmup_now() else self._occ_sampled
             occ = occ_fn(self.state.params, self.state.occ, self.timestamps_pool, k_occ)
             self.state = self.state._replace(occ=occ)
 
-        n_rays, s_max = self.bucket
+        n_rays = self.bucket
         batch = self.dataset.sample(n_rays, k_batch)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        self.state, metrics = self._step_fn(s_max)(self.state, batch, k_step)
+        self.state, metrics = self._step_fn()(self.state, batch, k_step)
 
-        # bucket feedback (the reference's dynamic batch resize,
-        # train_real.py:354-360): aim s_max ~= 2x measured mean samples/ray
-        n_samples = int(metrics["n_samples"])
-        if n_samples > 0 and self.adapt_bucket:
-            mean_per_ray = n_samples / n_rays
-            self.bucket = cfg.pick_bucket(mean_per_ray)
+        # ray-count feedback (the reference's dynamic batch resize,
+        # train_real.py:354-360): track valid-sample demand vs the budget
+        n_valid = int(metrics["n_valid"])
+        if n_valid > 0 and self.adapt_bucket and not self._warmup_now():
+            self.bucket = cfg.pick_ray_bucket(n_valid / n_rays)
 
         self.step += 1
         return {k: float(v) for k, v in metrics.items()} | {
-            "num_rays": n_rays, "s_max": s_max,
+            "num_rays": n_rays,
         }
 
     # ---------------- scanned multi-step fast path ---------------- #
 
-    def _loop_fn(self, n_rays: int, s_max: int):
-        warmup = not self._compact_now()
-        keyed = (n_rays, s_max, warmup)
+    def _loop_fn(self, n_rays: int):
+        warmup = self._warmup_now()
+        keyed = (n_rays, warmup)
         if keyed not in self._loop_fns:
             data, sample_fn = self.device_sampler
             self._loop_fns[keyed] = make_train_loop(
-                self.field, self.cfg, self.flags, s_max, n_rays, sample_fn,
-                self.steps_per_call, compact=not warmup, warmup_phase=warmup,
+                self.field, self.cfg, self.flags, n_rays, sample_fn,
+                self.steps_per_call, warmup_phase=warmup,
             )
         return self._loop_fns[keyed]
 
@@ -392,28 +352,29 @@ class Trainer:
         """
         assert self.device_sampler is not None
         cfg = self.cfg
-        n_rays, s_max = self.bucket
+        n_rays = self.bucket
         self.key, k = jax.random.split(self.key)
         data, _ = self.device_sampler
-        self.state, metrics = self._loop_fn(n_rays, s_max)(
+        self.state, metrics = self._loop_fn(n_rays)(
             self.state, data, self.timestamps_pool, k,
             jnp.asarray(self.step, jnp.int32),
         )
         self.step += self.steps_per_call
 
         mean_samples = float(jnp.mean(metrics["n_samples"]))
+        mean_valid = float(jnp.mean(metrics["n_valid"]))
         # bucket adaptation starts after warmup: the grid is dense until then
-        # (the initial max-s_max bucket fits that), and freezing the shape
-        # avoids compiling warmup-phase programs for transient buckets
-        if mean_samples > 0 and self._compact_now() and self.adapt_bucket:
-            self.bucket = cfg.pick_bucket(mean_samples / n_rays)
+        # (the smallest ray bucket fits that), and freezing the shape avoids
+        # compiling warmup-phase programs for transient buckets
+        if mean_valid > 0 and not self._warmup_now() and self.adapt_bucket:
+            self.bucket = cfg.pick_ray_bucket(mean_valid / n_rays)
         return {
             "loss": float(jnp.mean(metrics["loss"])),
             "mse": float(jnp.mean(metrics["mse"])),
             "psnr": float(-10.0 * jnp.log(jnp.mean(metrics["mse"])) / np.log(10.0)),
             "n_samples": mean_samples,
+            "n_valid": mean_valid,
             "num_rays": n_rays,
-            "s_max": s_max,
             "steps": self.steps_per_call,
         }
 

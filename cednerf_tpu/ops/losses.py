@@ -31,17 +31,27 @@ def distortion_loss(weights, t_starts, t_ends, mask=None):
     return jnp.mean(loss_bi + loss_uni)
 
 
-def opacity_loss(opacities, eps: float = 1e-6):
+def _ray_mean(per_ray, ray_weights):
+    """Mean over rays, optionally restricted to ray_weights (0/1 mask)."""
+    if ray_weights is None:
+        return jnp.mean(per_ray)
+    w = ray_weights.reshape(per_ray.shape)
+    return jnp.sum(per_ray * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def opacity_loss(opacities, eps: float = 1e-6, ray_weights=None):
     """-acc * log(acc), mean (train_real.py:374). Clamped for log stability
-    (the reference NaNs at acc == 0; we don't reproduce that)."""
+    (the reference NaNs at acc == 0; we don't reproduce that).
+    ray_weights: optional [R] 0/1 mask (budget-dropped rays excluded)."""
     acc = jnp.clip(opacities, eps, 1.0)
-    return jnp.mean(-acc * jnp.log(acc))
+    return _ray_mean(-acc * jnp.log(acc), ray_weights)
 
 
-def acc_entropy_loss(opacities, eps: float = 1e-6):
+def acc_entropy_loss(opacities, eps: float = 1e-6, ray_weights=None):
     """Binary entropy of the residual transmittance (train_real.py:388-392)."""
     t_last = jnp.clip(1.0 - opacities, eps, 1.0 - eps)
-    return -jnp.mean(t_last * jnp.log(t_last) + (1.0 - t_last) * jnp.log(1.0 - t_last))
+    ent = -(t_last * jnp.log(t_last) + (1.0 - t_last) * jnp.log(1.0 - t_last))
+    return _ray_mean(ent, ray_weights)
 
 
 def rgbper_loss(rgbs, pixels, weights, mask):

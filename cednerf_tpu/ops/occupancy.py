@@ -241,7 +241,23 @@ def occupancy_lookup(state: OccGridState, pos):
     return occupied & any_inside
 
 
-def march_rays(
+class RayCandidates(NamedTuple):
+    """Dense (uncompacted) marching candidates: all arrays [n_rays, n_steps].
+
+    The train path consumes these directly (cross-ray budgeted compaction in
+    engine/renderer.py); `march_rays` compacts them per ray for eval.
+    """
+
+    t_starts: jnp.ndarray
+    dts: jnp.ndarray
+    valid: jnp.ndarray  # bool
+
+    @property
+    def t_ends(self):
+        return self.t_starts + self.dts
+
+
+def march_candidates(
     state: OccGridState,
     origins,
     viewdirs,
@@ -251,16 +267,15 @@ def march_rays(
     render_step_size: float,
     cone_angle: float = 0.0,
     max_march_steps: int = 1024,
-    s_max: int = 256,
     stratified_key=None,
-) -> RaySamples:
-    """March rays through the occupancy grid into a padded sample buffer.
+) -> RayCandidates:
+    """Evaluate all marching candidates: uniform steps with cone-angle growth,
+    masked by occupancy of the finest containing grid level.
 
-    Evaluates `max_march_steps` candidate intervals per ray (uniform step with
-    cone-angle growth), masks by occupancy, and stably compacts the valid ones
-    into the first `s_max` slots per ray. Replaces nerfacc's
-    `estimator.sampling` packed output (cednerf/utils.py:115-125) with a
-    fixed-shape [n_rays, s_max] layout.
+    Replaces nerfacc's `estimator.sampling` traversal (cednerf/utils.py:115-125)
+    with a fixed-shape [n_rays, max_march_steps] candidate lattice; no
+    compaction happens here (that's a consumer decision — per-ray for eval,
+    cross-ray budgeted for training).
     """
     n_rays = origins.shape[0]
     # Enter at the outermost level's AABB.
@@ -284,12 +299,39 @@ def march_rays(
         t0 = jnp.swapaxes(t0_t, 0, 1)
         dt = jnp.swapaxes(dt_t, 0, 1)
 
-    t1 = t0 + dt
-    t_mid = (t0 + t1) / 2.0
+    t_mid = t0 + dt / 2.0
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]
     valid = (t0 < t_max[:, None]) & occupancy_lookup(state, pos)
+    return RayCandidates(t_starts=t0, dts=dt, valid=valid)
 
+
+def march_rays(
+    state: OccGridState,
+    origins,
+    viewdirs,
+    *,
+    near_plane: float,
+    far_plane: float,
+    render_step_size: float,
+    cone_angle: float = 0.0,
+    max_march_steps: int = 1024,
+    s_max: int = 256,
+    stratified_key=None,
+) -> RaySamples:
+    """March rays into a per-ray compacted padded sample buffer.
+
+    `march_candidates` + stable per-ray compaction of the valid samples into
+    the first `s_max` slots (fixed-shape [n_rays, s_max] replacement for
+    nerfacc's ragged packed output). Used by the eval renderer; the train path
+    uses the candidates directly with cross-ray budgeted compaction.
+    """
+    cand = march_candidates(
+        state, origins, viewdirs, near_plane=near_plane, far_plane=far_plane,
+        render_step_size=render_step_size, cone_angle=cone_angle,
+        max_march_steps=max_march_steps, stratified_key=stratified_key,
+    )
     # Stable per-ray compaction: valid samples first, order preserved.
-    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)[:, :s_max]
+    order = jnp.argsort(jnp.logical_not(cand.valid), axis=-1, stable=True)[:, :s_max]
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)
-    return RaySamples(t_starts=take(t0), t_ends=take(t1), mask=take(valid))
+    return RaySamples(t_starts=take(cand.t_starts), t_ends=take(cand.t_ends),
+                      mask=take(cand.valid))

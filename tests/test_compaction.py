@@ -1,18 +1,21 @@
-"""Budgeted field evaluation (compact_budget): march packs each ray's valid
-samples into its leading slots, so the budget is implemented as a sample-axis
-truncation. It must match the dense path when the truncation keeps every
-valid sample, and degrade gracefully (per-ray deepest-sample drop) when not."""
+"""Budgeted cross-ray sample compaction (engine/renderer.py compact_select +
+render_rays_budget): the field is evaluated on a fixed-size buffer of the
+valid marching candidates and the results scattered back to the dense
+[R, M] lattice. Must match the dense path exactly when the budget holds every
+valid sample, degrade by dropping trailing samples (flagging those rays
+incomplete) when not, and keep gradients identical to the dense path."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cednerf_tpu.engine.renderer import render_rays
+from cednerf_tpu.engine.renderer import (compact_select, render_rays,
+                                         render_rays_budget)
 from cednerf_tpu.models.field import DNGPRadianceField
-from cednerf_tpu.ops.occupancy import RaySamples
+from cednerf_tpu.ops.occupancy import RayCandidates, RaySamples
 
 
-def _setup(seed=0, r=8, s=16):
+def _setup(seed=0, r=8, m=16):
     field = DNGPRadianceField(
         aabb=(-1.5,) * 3 + (1.5,) * 3, n_levels=3, dst_resolution=32,
         base_resolution=8, log2_hashmap_size=10, use_feat_predict=True,
@@ -25,50 +28,89 @@ def _setup(seed=0, r=8, s=16):
     origins = jnp.asarray(rng.normal(0, 0.1, (r, 3)), jnp.float32)
     viewdirs = jnp.asarray(rng.normal(size=(r, 3)), jnp.float32)
     viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
-    t0 = jnp.asarray(np.cumsum(rng.uniform(0.01, 0.05, (r, s)), 1), jnp.float32)
-    t1 = t0 + 0.02
-    # front-packed validity, the march_rays output contract
-    counts = rng.integers(3, s - 2, size=r)
-    mask = jnp.asarray(np.arange(s)[None, :] < counts[:, None])
-    samples = RaySamples(t_starts=t0, t_ends=t1, mask=mask)
-    ts = jnp.full((r, 1), 0.5)
+    dts = jnp.asarray(rng.uniform(0.01, 0.05, (r, m)), jnp.float32)
+    t0 = jnp.cumsum(dts, axis=-1) - dts
+    # scattered validity (NOT front-packed: candidates are an occupancy mask)
+    valid = jnp.asarray(rng.random((r, m)) < 0.6)
+    cand = RayCandidates(t_starts=t0, dts=dts, valid=valid)
+    ts = jnp.asarray(rng.random((r, 1)), jnp.float32)
     bkgd = jnp.asarray([1.0, 1.0, 1.0])
-    return field, params, origins, viewdirs, samples, ts, bkgd
+    return field, params, origins, viewdirs, cand, ts, bkgd
+
+
+def test_compact_select_roundtrip():
+    rng = np.random.default_rng(3)
+    valid = jnp.asarray(rng.random((8, 16)) < 0.4)
+    n_valid = int(valid.sum())
+    sel, kept = compact_select(valid, budget=n_valid + 8)
+    # every valid candidate selected exactly once, in ascending order
+    sel_np = np.asarray(sel)
+    real = sel_np[sel_np < 8 * 16]
+    assert len(real) == n_valid
+    assert (np.sort(real) == real).all()
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(valid))
+    expected = np.flatnonzero(np.asarray(valid).reshape(-1))
+    np.testing.assert_array_equal(real, expected)
+
+
+def test_compact_select_overflow_and_blocks():
+    rng = np.random.default_rng(4)
+    valid = jnp.asarray(rng.random((8, 16)) < 0.9)
+    sel, kept = compact_select(valid, budget=32, n_blocks=4)
+    kept_np = np.asarray(kept)
+    # each 2-ray block keeps at most 8 samples, a flat prefix of its valids
+    for b in range(4):
+        block_valid = np.asarray(valid)[2 * b:2 * b + 2].reshape(-1)
+        block_kept = kept_np[2 * b:2 * b + 2].reshape(-1)
+        assert block_kept.sum() == min(block_valid.sum(), 8)
+        first_idx = np.flatnonzero(block_valid)[:int(block_kept.sum())]
+        np.testing.assert_array_equal(np.flatnonzero(block_kept), first_idx)
 
 
 def test_budgeted_matches_dense_when_budget_sufficient():
-    field, params, o, d, samples, ts, bkgd = _setup()
+    field, params, o, d, cand, ts, bkgd = _setup()
+    samples = RaySamples(t_starts=cand.t_starts, t_ends=cand.t_ends,
+                         mask=cand.valid)
     dense = render_rays(field, params, o, d, samples, ts, bkgd, train=True)
-    max_per_ray = int(samples.mask.sum(-1).max())
-    budget = 8 * max_per_ray  # truncation keeps every valid sample
-    assert budget < 8 * 16
-    compact = render_rays(field, params, o, d, samples, ts, bkgd, train=True,
-                          compact_budget=budget)
-    np.testing.assert_allclose(np.asarray(compact.rgb), np.asarray(dense.rgb),
+    n_valid = int(cand.valid.sum())
+    out = render_rays_budget(field, params, o, d, cand, ts, bkgd,
+                             budget=n_valid + 8, train=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(dense.rgb),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(compact.depth), np.asarray(dense.depth),
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(dense.depth),
                                rtol=1e-4, atol=1e-5)
-    assert int(compact.n_samples) == int(dense.n_samples)
-    np.testing.assert_allclose(np.asarray(compact.extras["latent_losses"]),
-                               np.asarray(dense.extras["latent_losses"]),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(compact.extras["weight_losses"]),
+    assert int(out.n_samples) == int(dense.n_samples)
+    assert np.asarray(out.extras["complete"]).all()
+    assert int(out.extras["n_valid"]) == n_valid
+    # latent loss: budget path pre-reduces channels; total scalar must match
+    np.testing.assert_allclose(
+        float(jnp.mean(out.extras["latent_losses"])),
+        float(jnp.mean(dense.extras["latent_losses"])), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.extras["weight_losses"]),
                                np.asarray(dense.extras["weight_losses"]),
                                rtol=1e-3, atol=1e-5)
 
 
 def test_budgeted_gradients_match_dense():
-    field, params, o, d, samples, ts, bkgd = _setup(seed=1)
+    field, params, o, d, cand, ts, bkgd = _setup(seed=1)
+    samples = RaySamples(t_starts=cand.t_starts, t_ends=cand.t_ends,
+                         mask=cand.valid)
     target = jnp.full((8, 3), 0.5)
-    max_per_ray = int(samples.mask.sum(-1).max())
+    n_valid = int(cand.valid.sum())
 
-    def loss(p, budget):
-        out = render_rays(field, p, o, d, samples, ts, bkgd, train=True,
-                          compact_budget=budget)
-        return jnp.mean((out.rgb - target) ** 2) + jnp.mean(out.extras["latent_losses"])
+    def loss_budget(p):
+        out = render_rays_budget(field, p, o, d, cand, ts, bkgd,
+                                 budget=n_valid + 8, train=True)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + jnp.mean(out.extras["latent_losses"]))
 
-    g_dense = jax.grad(lambda p: loss(p, None))(params)
-    g_comp = jax.grad(lambda p: loss(p, 8 * max_per_ray))(params)
+    def loss_dense(p):
+        out = render_rays(field, p, o, d, samples, ts, bkgd, train=True)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + jnp.mean(out.extras["latent_losses"]))
+
+    g_dense = jax.grad(loss_dense)(params)
+    g_comp = jax.grad(loss_budget)(params)
     # bf16 compute differs in rounding between the two batch shapes; require
     # agreement to bf16-level precision only
     for a, b in zip(jax.tree_util.tree_leaves(g_comp),
@@ -77,14 +119,20 @@ def test_budgeted_gradients_match_dense():
                                    atol=1e-4)
 
 
-def test_overflow_drops_deepest_samples_but_stays_finite():
-    field, params, o, d, samples, ts, bkgd = _setup(seed=2)
-    n_valid = int(samples.mask.sum())
-    small = max(8, n_valid // 2)
-    out = render_rays(field, params, o, d, samples, ts, bkgd, train=True,
-                      compact_budget=small)
-    # per-ray cap: each ray keeps at most ceil(small / r) samples
-    s_eval = -(-small // 8)
-    assert int(out.n_samples) == int(np.minimum(
-        np.asarray(samples.mask.sum(-1)), s_eval).sum())
+def test_overflow_drops_trailing_and_flags_incomplete():
+    field, params, o, d, cand, ts, bkgd = _setup(seed=2)
+    n_valid = int(cand.valid.sum())
+    budget = max(8, (n_valid // 2) // 8 * 8)
+    out = render_rays_budget(field, params, o, d, cand, ts, bkgd,
+                             budget=budget, train=True)
+    assert int(out.n_samples) == budget
+    complete = np.asarray(out.extras["complete"])
+    counts = np.asarray(cand.valid.sum(-1))
+    cum = np.cumsum(counts)
+    # rays fully inside the budget are complete, later rays are not
+    # (rays with no valid samples are trivially complete)
+    expected = np.where((cum <= budget) | (counts == 0), 1.0, 0.0)
+    # the boundary ray may be partially kept -> incomplete unless exact fit
+    np.testing.assert_array_equal(complete, expected)
     assert np.isfinite(np.asarray(out.rgb)).all()
+    assert int(out.extras["n_valid"]) == n_valid

@@ -19,8 +19,11 @@ from synthetic_scene import BallScene
 def _setup():
     cfg = dataclasses.replace(
         dnerf_config(max_steps=100),
-        target_sample_batch_size=2048, grid_resolution=16,
-        render_step_size=2e-2, max_march_steps=128,
+        # budget >= worst-case demand (512 rays x 128 candidates) so the
+        # budgeted compaction never drops samples in this test, and
+        # block-local compaction aligned to the 8-device mesh
+        target_sample_batch_size=512 * 128, grid_resolution=16,
+        render_step_size=2e-2, max_march_steps=128, compact_blocks=8,
     )
     field = DNGPRadianceField(
         aabb=cfg.aabb, n_levels=2, dst_resolution=32, base_resolution=8,
@@ -86,7 +89,7 @@ def test_sharded_train_step_matches_single_device():
 
     # the full train step (march + render + losses + Adam) also executes
     # sharded without error and stays finite
-    step_fn = make_train_step(field, cfg, ModelFlags(), s_max=32)
+    step_fn = make_train_step(field, cfg, ModelFlags())
     new_state, metrics = step_fn(sharded_state, sharded_batch, key)
     assert np.isfinite(float(metrics["loss"]))
     assert all(np.isfinite(np.asarray(l)).all()

@@ -53,13 +53,20 @@ def test_lr_schedule():
 
 def test_bucket_schedule():
     cfg = dnerf_config()
-    buckets = cfg.buckets()
-    assert all(r * s == cfg.slot_budget for r, s in buckets)
-    assert buckets[0][1] == 1024
-    # mean 30 samples/ray -> want s_max >= 60 -> 64
-    assert cfg.pick_bucket(30.0)[1] == 64
-    assert cfg.pick_bucket(500.0)[1] == 1024
-    assert cfg.pick_bucket(0.5)[1] == 16
+    buckets = cfg.ray_buckets()
+    # floor: enough rays that a fully dense march can fill the budget;
+    # ceiling: at least 16 expected samples per ray
+    assert buckets[0] == cfg.sample_budget // cfg.max_march_steps == 256
+    assert buckets[-1] <= cfg.sample_budget // 16
+    assert all(b % 64 == 0 for b in buckets)
+    # fine geometric ladder: bucket utilization of the budget stays >= ~70%
+    assert all(a < b <= int(a * 1.4) for a, b in zip(buckets, buckets[1:]))
+    # demand tracking: largest bucket whose expected demand fits the headroom
+    desired = cfg.budget_headroom * cfg.sample_budget / 30.0
+    assert cfg.pick_ray_bucket(30.0) <= desired < cfg.pick_ray_bucket(30.0) * 1.4
+    assert cfg.pick_ray_bucket(0.5) == buckets[-1]
+    # dense-grid warmup (demand/ray ~ max_march_steps) sits at the floor
+    assert cfg.pick_ray_bucket(1024.0) == buckets[0]
 
 
 def test_training_reduces_loss():

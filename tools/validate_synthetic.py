@@ -67,7 +67,7 @@ def main():
         if trainer.step % 256 < trainer.steps_per_call:
             history.append((trainer.step, m["psnr"]))
             print(f"step={trainer.step} psnr={m['psnr']:.2f} "
-                  f"bucket={m['num_rays']}x{m['s_max']} "
+                  f"rays={m['num_rays']} "
                   f"nsamp={int(m['n_samples'])}", flush=True)
     train_s = time.perf_counter() - t0
 
