@@ -298,7 +298,8 @@ def _w_lanes(w, n_features: int):
 @functools.lru_cache(maxsize=None)
 def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                        n_feat: int, dtype_name: str,
-                       table_dtype_name: str = "float32"):
+                       table_dtype_name: str = "float32",
+                       dx_impl: str = "contract"):
     """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
 
     The autodiff backward through the trilinear-weight outer product
@@ -342,20 +343,45 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         upd = _w_lanes(w, F) * gout
         d_table = jnp.zeros((n_rows, W), jnp.float32).at[rows].add(
             upd.astype(jnp.float32))
-        h = (feats * gout).reshape(n, BRICK_CORNERS, BRICK_CORNERS,
-                                   BRICK_CORNERS, F)
-        hf = jnp.sum(h, axis=-1)  # [N,4,4,4]
+        # Position gradient in fused lane form: d_frac_a = sum over row lanes
+        # of (feats * gout) * (dW/dfrac_a lanes), where the derivative-weight
+        # lanes substitute dw for w on axis a. Each axis is one [N, 64F]
+        # elementwise+reduce pass that XLA fuses (the earlier [N,4,4,4]
+        # contraction materialized several 67 MB intermediates per level and
+        # dominated the whole backward).
         wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
         dwx, dwy, dwz = dw[:, 0], dw[:, 1], dw[:, 2]
+        if dx_impl == "lanes":
+            h = feats * gout  # [N, 64F]
 
-        def contract(ax_, ay_, az_):
-            t = hf * ax_[:, :, None, None] * ay_[:, None, :, None] \
-                * az_[:, None, None, :]
-            return jnp.sum(t, axis=(1, 2, 3)).astype(jnp.float32)
+            def lane_dot(ax_, ay_, az_):
+                lanes = (
+                    ax_[:, :, None, None] * ay_[:, None, :, None]
+                    * az_[:, None, None, :]
+                )  # [N, 4, 4, 4]
+                lanes = jnp.broadcast_to(
+                    lanes[..., None],
+                    (n, BRICK_CORNERS, BRICK_CORNERS, BRICK_CORNERS, F),
+                ).reshape(n, W)
+                return jnp.sum((h * lanes).astype(jnp.float32), axis=-1)
 
-        d_frac = jnp.stack(
-            [contract(dwx, wy, wz), contract(wx, dwy, wz),
-             contract(wx, wy, dwz)], axis=-1)
+            d_frac = jnp.stack(
+                [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
+                 lane_dot(wx, wy, dwz)], axis=-1)
+        else:  # "contract": reduce features first, contract the 4^3 cube
+            hf = jnp.sum(
+                (feats * gout).reshape(n, BRICK_CORNERS, BRICK_CORNERS,
+                                       BRICK_CORNERS, F),
+                axis=-1)  # [N,4,4,4]
+
+            def contract(ax_, ay_, az_):
+                t = hf * ax_[:, :, None, None] * ay_[:, None, :, None] \
+                    * az_[:, None, None, :]
+                return jnp.sum(t, axis=(1, 2, 3)).astype(jnp.float32)
+
+            d_frac = jnp.stack(
+                [contract(dwx, wy, wz), contract(wx, dwy, wz),
+                 contract(wx, wy, dwz)], axis=-1)
         d_x = d_frac * jnp.float32(scale) * ok
         return d_table.astype(jnp.dtype(table_dtype_name)), d_x.astype(x.dtype)
 
@@ -364,7 +390,8 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
 
 
 def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None,
-                 compute_dtype=jnp.bfloat16, use_custom_vjp: bool = True):
+                 compute_dtype=jnp.bfloat16, use_custom_vjp: bool = True,
+                 dx_impl: str = "contract"):
     """Multiresolution brick-grid encoding.
 
     Args:
@@ -400,7 +427,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 enc = _make_level_encode(
                     float(scale), lay["n_bricks_axis"], lay["hashed"],
                     lay["rows"], f, jnp.dtype(compute_dtype).name,
-                    table.dtype.name)
+                    table.dtype.name, dx_impl)
                 outs.append(enc(table, x))
             else:
                 rows, w = _level_rows_and_weights(
