@@ -137,29 +137,36 @@ class BrickGridSpec:
         return params
 
 
+def _expand_brick_axis(g, axis: int, nb: int):
+    """Split one corner axis [3*nb+1] into brick x corner axes [nb, 4].
+
+    bricks[..., b, d, ...] = g[..., 3*b + d, ...] for d in 0..3: d in {0,1,2}
+    is a pure reshape of the leading 3*nb entries; d == 3 is the stride-3
+    slice starting at 3 (each brick's far corner = the next brick's near
+    corner, which keeps corner sharing exact)."""
+    pre, post = g.shape[:axis], g.shape[axis + 1:]
+    main = jax.lax.slice_in_dim(g, 0, 3 * nb, axis=axis)
+    main = main.reshape(pre + (nb, 3) + post)
+    far = jax.lax.slice_in_dim(g, 3, 3 * nb + 1, 3, axis=axis)
+    far = far.reshape(pre + (nb, 1) + post)
+    return jnp.concatenate([main, far], axis=axis + 1)
+
+
 def _materialize_dense_bricks(grid, n_bricks_axis: int):
     """Overlapping 4^3 windows of the canonical corner grid, stride 3.
 
     grid: [N, N, N, F] with N = 3*n_bricks_axis + 1.
-    Returns [n_bricks_axis^3, 64 * F]; pure strided slices (bandwidth-speed,
-    differentiable, keeps corner sharing exact).
-    """
+    Returns [n_bricks_axis^3, 64 * F] in corner-major row layout
+    (corner = dx*16 + dy*4 + dz). Three axis-wise reshape/concat expansions
+    + one transpose — the earlier 64-strided-slices formulation spent ~15 ms
+    per forward on tiny tile-padded slices (measured, v5e)."""
     nb = n_bricks_axis
     f = grid.shape[-1]
-    parts = []
-    for dx in range(BRICK_CORNERS):
-        for dy in range(BRICK_CORNERS):
-            for dz in range(BRICK_CORNERS):
-                sl = jax.lax.slice(
-                    grid,
-                    (dx, dy, dz, 0),
-                    (dx + 3 * (nb - 1) + 1, dy + 3 * (nb - 1) + 1,
-                     dz + 3 * (nb - 1) + 1, f),
-                    (3, 3, 3, 1),
-                )  # [nb, nb, nb, F]
-                parts.append(sl.reshape(nb ** 3, f))
-    # corner-major: [brick, corner(dx*16+dy*4+dz), F]
-    return jnp.stack(parts, axis=1).reshape(nb ** 3, CORNERS_PER_BRICK * f)
+    g = _expand_brick_axis(grid, 0, nb)   # [nb,4,X,X,F]
+    g = _expand_brick_axis(g, 2, nb)      # [nb,4,nb,4,X,F]
+    g = _expand_brick_axis(g, 4, nb)      # [nb,4,nb,4,nb,4,F]
+    g = g.transpose(0, 2, 4, 1, 3, 5, 6)  # [nb,nb,nb,4,4,4,F]
+    return g.reshape(nb ** 3, CORNERS_PER_BRICK * f)
 
 
 def _corner_weights(intra, frac, dtype, n_features: int = 1):
@@ -295,11 +302,30 @@ def _w_lanes(w, n_features: int):
     return wf.reshape(n, CORNERS_PER_BRICK * n_features)
 
 
+def _lane_axis_weights_2d(axis: int, intra_a, frac_a, dtype, n_features: int,
+                          with_d: bool):
+    """Single-level lane-domain axis weights: [N, 64*F] (and d/dfrac).
+
+    Compare-built directly at row width (see _axis_lane_weights): every
+    intermediate has a 64F-wide minor dim, which tiles cleanly — the
+    outer-product construction's [N,4,4,4(,F)] intermediates pad 8-32x under
+    TPU (8,128) tiling when XLA materializes them."""
+    k = _lane_axis_index(axis, n_features)[None, :]
+    ia = intra_a[:, None]
+    fa = frac_a[:, None].astype(dtype)
+    lo = (k == ia)
+    hi = (k == ia + 1)
+    w = jnp.where(lo, 1.0 - fa, jnp.zeros((), dtype))
+    w = jnp.where(hi, fa, w)
+    dw = (hi.astype(dtype) - lo.astype(dtype)) if with_d else None
+    return w, dw
+
+
 @functools.lru_cache(maxsize=None)
 def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                        n_feat: int, dtype_name: str,
                        table_dtype_name: str = "float32",
-                       dx_impl: str = "contract"):
+                       dx_impl: str = "hybrid"):
     """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
 
     The autodiff backward through the trilinear-weight outer product
@@ -314,11 +340,29 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
     cdtype = jnp.dtype(dtype_name)
     F = n_feat
     W = CORNERS_PER_BRICK * F
+    # 'hybrid' (default): outer-product weights in the forward (fastest fwd),
+    # compare-built lane weights in the backward (fastest bwd) — both
+    # measured on v5e at 262k samples, see tools/profile_encoder.py.
+    cmp_fwd = dx_impl == "cmp"
+    cmp_bwd = dx_impl in ("cmp", "hybrid")
+
+    def cmp_lanes(intra, frac, with_d: bool):
+        ws, dws = [], []
+        for a in range(3):
+            w, dw = _lane_axis_weights_2d(a, intra[:, a], frac[:, a], cdtype,
+                                          F, with_d)
+            ws.append(w)
+            dws.append(dw)
+        return ws, dws
 
     def fwd_impl(table, x):
         rows, intra, frac, _ = _level_geom(x, scale, nb, hashed, n_rows)
-        w, _ = _axis_factors(intra, frac, cdtype)
-        w_full = _w_lanes(w, F)
+        if cmp_fwd:
+            (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
+            w_full = wx * wy * wz
+        else:
+            w, _ = _axis_factors(intra, frac, cdtype)
+            w_full = _w_lanes(w, F)
         feats = jnp.take(table.astype(cdtype), rows, axis=0)
         sel = _feature_selector(F, cdtype)
         out = jnp.dot(feats * w_full, sel, preferred_element_type=jnp.float32)
@@ -334,7 +378,35 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         out, feats = fwd_impl(table, x)
         return out, (x, feats)
 
+    # constant [F, W] one-hot expanding a feature cotangent to lane width
+    _expand_np = (np.zeros((1, CORNERS_PER_BRICK, 1), np.float32)
+                  + np.eye(n_feat, dtype=np.float32)[:, None, :]).reshape(
+                      n_feat, W)
+
+    def bwd_cmp(res, g):
+        x, feats = res
+        rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
+        expand = jnp.asarray(_expand_np, cdtype)
+        gout = jnp.dot(g.astype(cdtype), expand)           # [N, W]
+        upd = (wx * wy * wz) * gout
+        d_table = jnp.zeros((n_rows, W), jnp.float32).at[rows].add(
+            upd.astype(jnp.float32))
+        h = feats * gout
+
+        def lane_dot(a_, b_, c_):
+            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
+
+        d_frac = jnp.stack(
+            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
+             lane_dot(wx, wy, dwz)], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        return (d_table.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype))
+
     def bwd(res, g):
+        if cmp_bwd:
+            return bwd_cmp(res, g)
         x, feats = res
         n = x.shape[0]
         rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
@@ -389,9 +461,193 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
     return enc
 
 
+# --------------------------------------------------------------------- #
+# Fused multi-level path: one concatenated table, one [N, L]-row gather,
+# batched interpolation + backward over a level axis. The per-level path
+# issues ~6 kernels per level (96 for L=16); fusing collapses that to ~10
+# total, which matters because most of these ops are overhead- rather than
+# bandwidth-bound at [262k, 128] sizes on v5e.
+# --------------------------------------------------------------------- #
+
+
+def _fused_geom(x, scales, nbs, hashed, rows_n, offsets):
+    """Batched per-level geometry. x: [N,3]; static per-level metadata tuples.
+
+    Returns (rows [N,L] i32 into the concatenated table, intra [N,L,3] i32,
+    frac [N,L,3] f32, ok [N,L,3] f32 — 1 where not edge-clamped)."""
+    L = len(scales)
+    sc = jnp.asarray(scales, jnp.float32)            # [L]
+    nb = jnp.asarray(nbs, jnp.int32)                 # [L]
+    hm = jnp.asarray(hashed, bool)                   # [L]
+    rn = jnp.asarray(rows_n, jnp.uint32)             # [L]
+    off = jnp.asarray(offsets, jnp.int32)            # [L]
+
+    pos = x.astype(jnp.float32)[:, None, :] * sc[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid                             # [N,L,3]
+    cell_raw = pos_grid.astype(jnp.int32)
+    hi = (nb * BRICK_CELLS - 1)[None, :, None]
+    cell = jnp.clip(cell_raw, 0, hi)
+    ok = ((cell_raw >= 0) & (cell_raw <= hi)).astype(jnp.float32)
+    brick = cell // BRICK_CELLS
+    intra = cell - brick * BRICK_CELLS
+
+    b = brick.astype(jnp.uint32)
+    h = (
+        b[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ b[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ b[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    hashed_rows = (h % rn[None, :]).astype(jnp.int32)
+    dense_rows = (brick[..., 0] * nb[None, :] + brick[..., 1]) * nb[None, :] \
+        + brick[..., 2]
+    rows = jnp.where(hm[None, :], hashed_rows, dense_rows) + off[None, :]
+    return rows, intra, frac, ok
+
+
+def _lane_axis_index(axis: int, n_features: int):
+    """Constant [64*F] vector: per lane, its corner's index along `axis`.
+
+    Lane layout is corner-major (corner = dx*16 + dy*4 + dz, lane =
+    corner*F + f)."""
+    lane = np.arange(CORNERS_PER_BRICK * n_features)
+    corner = lane // n_features
+    idx = (corner // (BRICK_CORNERS ** (2 - axis))) % BRICK_CORNERS
+    return jnp.asarray(idx, jnp.int32)
+
+
+def _axis_lane_weights(axis: int, intra_a, frac_a, dtype, n_features: int):
+    """Per-axis interpolation weight and its d/dfrac, directly at full lane
+    width: [N, L, 64*F] each.
+
+    Built by comparing each lane's constant corner index against the sample's
+    cell position — pure elementwise with a 128-wide minor dimension, which
+    is the layout TPU tiles want. (The outer-product formulation materializes
+    [N,L,4,4,4] intermediates whose tiny trailing dims pad 8-32x under XLA's
+    (8,128) tiling — a compile-time OOM at real batch sizes.)
+    """
+    k = _lane_axis_index(axis, n_features)[None, None, :]
+    ia = intra_a[..., None]                     # [N,L,1]
+    fa = frac_a[..., None].astype(dtype)        # [N,L,1]
+    lo = (k == ia)
+    hi = (k == ia + 1)
+    w = jnp.where(lo, 1.0 - fa, jnp.zeros((), dtype))
+    w = jnp.where(hi, fa, w)
+    dw = hi.astype(dtype) - lo.astype(dtype)
+    return w, dw
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
+                       n_feat: int, dtype_name: str,
+                       table_dtype_name: str = "float32"):
+    """Analytic custom-VJP fused encode: (flat_table [R,64F], x) -> [N, L*F].
+
+    Single gather / single scatter-add for all levels; all interpolation
+    math lives in the [N, L, 64F] lane domain (minor dim 64F = 128 for F=2)
+    so every intermediate tiles cleanly.
+    """
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+    L = len(scales)
+
+    def geom(x):
+        return _fused_geom(x, scales, nbs, hashed, rows_n, offsets)
+
+    def lane_weights(intra, frac, with_d: bool):
+        ws, dws = [], []
+        for a in range(3):
+            w, dw = _axis_lane_weights(a, intra[..., a], frac[..., a],
+                                       cdtype, F)
+            ws.append(w)
+            dws.append(dw)
+        return ws, (dws if with_d else None)
+
+    def fwd_impl(table, x):
+        n = x.shape[0]
+        rows, intra, frac, _ = geom(x)
+        (wx, wy, wz), _ = lane_weights(intra, frac, False)
+        lanes = wx * wy * wz                              # [N,L,W]
+        feats = jnp.take(table.astype(cdtype), rows, axis=0)  # [N,L,W]
+        sel = _feature_selector(F, cdtype)
+        out = jnp.dot((feats * lanes).reshape(n * L, W), sel,
+                      preferred_element_type=jnp.float32)
+        return out.reshape(n, L * F).astype(cdtype), feats
+
+    @jax.custom_vjp
+    def enc(table, x):
+        return fwd_impl(table, x)[0]
+
+    def fwd(table, x):
+        out, feats = fwd_impl(table, x)
+        return out, (x, feats)
+
+    # constant [F, W] one-hot expanding a feature cotangent to lane width
+    _expand = np.zeros((1, CORNERS_PER_BRICK, 1), np.float32) + np.eye(
+        n_feat, dtype=np.float32)[:, None, :]
+
+    def bwd(res, g):
+        x, feats = res
+        n = x.shape[0]
+        rows, intra, frac, ok = geom(x)
+        (wx, wy, wz), (dwx, dwy, dwz) = lane_weights(intra, frac, True)
+        lanes = wx * wy * wz
+        # gout[n,l,c*F+f] = g[n,l,f]: one skinny matmul keeps lane layout
+        expand = jnp.asarray(_expand.reshape(F, W), cdtype)
+        gout = jnp.dot(g.astype(cdtype).reshape(n * L, F),
+                       expand).reshape(n, L, W)
+        upd = lanes * gout
+        d_table = jnp.zeros((total_rows, W), jnp.float32).at[rows].add(
+            upd.astype(jnp.float32))
+        h = feats * gout                                   # [N,L,W]
+
+        def lane_dot(a_, b_, c_):
+            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
+
+        d_frac = jnp.stack(
+            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
+             lane_dot(wx, wy, dwz)], axis=-1)               # [N,L,3]
+        sc = jnp.asarray(scales, jnp.float32)
+        d_x = jnp.sum(d_frac * sc[None, :, None] * ok, axis=1)
+        return (d_table.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype))
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
+def brick_encode_fused(x, params, spec: BrickGridSpec,
+                       compute_dtype=jnp.bfloat16):
+    """Fused-all-levels brick encoding (3D specs only). See brick_encode."""
+    assert not spec.time_keyframes, "fused path is 3D-only; use brick_encode"
+    layouts = spec.level_layout()
+    tables = []
+    offsets = []
+    off = 0
+    for lvl, lay in enumerate(layouts):
+        if lay["hashed"]:
+            tables.append(params[f"bricks_{lvl}"])
+        else:
+            tables.append(_materialize_dense_bricks(
+                params[f"grid_{lvl}"], lay["n_bricks_axis"]))
+        offsets.append(off)
+        off += lay["rows"]
+    flat = jnp.concatenate(tables, axis=0)
+    enc = _make_fused_encode(
+        tuple(float(level_scale(l, spec.log_b, spec.base_res))
+              for l in range(spec.n_levels)),
+        tuple(lay["n_bricks_axis"] for lay in layouts),
+        tuple(bool(lay["hashed"]) for lay in layouts),
+        tuple(lay["rows"] for lay in layouts),
+        tuple(offsets), off, spec.n_features,
+        jnp.dtype(compute_dtype).name, flat.dtype.name)
+    return enc(flat, x)
+
+
 def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None,
                  compute_dtype=jnp.bfloat16, use_custom_vjp: bool = True,
-                 dx_impl: str = "contract"):
+                 dx_impl: str = "hybrid"):
     """Multiresolution brick-grid encoding.
 
     Args:

@@ -169,6 +169,40 @@ def test_custom_vjp_matches_autodiff():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_variant_impls_match_default():
+    """The lane-compare ('cmp') backward variant and the fused-all-levels
+    encoder must match the default per-level outer-product path: identical
+    forwards and table grads, position grads to bf16 reassociation tolerance."""
+    from cednerf_tpu.ops.brick_grid import brick_encode_fused
+
+    spec = small_spec(n_levels=4, base_res=4, max_res=64, log2_hashmap_size=8)
+    params = spec.init_params(jax.random.PRNGKey(12))
+    # include out-of-lattice points to exercise the clamp/ok gating
+    x = jax.random.uniform(jax.random.PRNGKey(13), (128, 3),
+                           minval=-0.05, maxval=1.05)
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(jnp.sin(fn(xx, p).astype(jnp.float32)))
+
+    ref = loss(lambda xx, p: brick_encode(xx, p, spec))
+    for name, fn in [
+        ("cmp", loss(lambda xx, p: brick_encode(xx, p, spec, dx_impl="cmp"))),
+        ("fused", loss(lambda xx, p: brick_encode_fused(xx, p, spec))),
+    ]:
+        np.testing.assert_allclose(np.asarray(ref(params, x)),
+                                   np.asarray(fn(params, x)), rtol=1e-6,
+                                   err_msg=name)
+        gp_r, gx_r = jax.grad(ref, argnums=(0, 1))(params, x)
+        gp_v, gx_v = jax.grad(fn, argnums=(0, 1))(params, x)
+        for k in gp_r:
+            np.testing.assert_allclose(np.asarray(gp_r[k]),
+                                       np.asarray(gp_v[k]),
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"{name}:{k}")
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_v),
+                                   rtol=5e-2, atol=2e-3, err_msg=name)
+
+
 def test_4d_keyframe_lerp():
     spec = small_spec(time_keyframes=4)
     params = spec.init_params(jax.random.PRNGKey(7))

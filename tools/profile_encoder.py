@@ -14,7 +14,8 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from cednerf_tpu.ops.brick_grid import BrickGridSpec, brick_encode
+from cednerf_tpu.ops.brick_grid import (
+    BrickGridSpec, brick_encode, brick_encode_fused)
 from cednerf_tpu.utils import enable_compile_cache
 
 
@@ -54,20 +55,71 @@ def main():
     x = jax.random.uniform(key, (args.n, 3))
     add, run = make_timer(args.iters)
 
+    # decomposition probes: geometry-only, geometry+gather (no interp math)
+    from cednerf_tpu.ops.brick_grid import (_level_geom, _materialize_dense_bricks,
+                                            level_scale)
+
+    def probe_cases(spec, params, x, tag):
+        layouts = spec.level_layout()
+
+        def tables(p):
+            out = []
+            for lvl, lay in enumerate(layouts):
+                if lay["hashed"]:
+                    out.append(p[f"bricks_{lvl}"])
+                else:
+                    out.append(_materialize_dense_bricks(
+                        p[f"grid_{lvl}"], lay["n_bricks_axis"]))
+            return out
+
+        def geom_only(p, xx):
+            acc = jnp.zeros((xx.shape[0],), jnp.int32)
+            for lvl, lay in enumerate(layouts):
+                rows, intra, frac, ok = _level_geom(
+                    xx, float(level_scale(lvl, spec.log_b, spec.base_res)),
+                    lay["n_bricks_axis"], lay["hashed"], lay["rows"])
+                acc = acc + rows + intra[:, 0]
+            return jnp.sum(acc)
+
+        def geom_gather(p, xx):
+            tbs = tables(p)
+            acc = jnp.zeros((), jnp.float32)
+            for lvl, lay in enumerate(layouts):
+                rows, _, _, _ = _level_geom(
+                    xx, float(level_scale(lvl, spec.log_b, spec.base_res)),
+                    lay["n_bricks_axis"], lay["hashed"], lay["rows"])
+                feats = jnp.take(tbs[lvl].astype(jnp.bfloat16), rows, axis=0)
+                acc = acc + jnp.sum(feats.astype(jnp.float32))
+            return acc
+
+        add(f"{tag} geom only", jax.jit(geom_only), (params, x))
+        add(f"{tag} geom+gather", jax.jit(geom_gather), (params, x))
+
     for (L, F) in ((16, 2), (8, 4), (8, 2)):
         spec = BrickGridSpec(n_levels=L, n_features=F, base_res=16,
                              max_res=1024)
         params = spec.init_params(key)
+        probe_cases(spec, params, x, f"L{L}F{F}")
         add(f"L{L}F{F} fwd", jax.jit(lambda p, x, s=spec: jnp.sum(
             brick_encode(x, p, s).astype(jnp.float32))), (params, x))
         add(f"L{L}F{F} fwd+bwd tables", jax.jit(jax.grad(
             lambda p, x, s=spec: jnp.sum(
                 brick_encode(x, p, s).astype(jnp.float32)))), (params, x))
-        for impl in ("lanes", "contract"):
-            add(f"L{L}F{F} fwd+bwd tables+x [{impl}]", jax.jit(jax.grad(
-                lambda p, x, s=spec, i=impl: jnp.sum(
-                    brick_encode(x, p, s, dx_impl=i).astype(jnp.float32)),
-                argnums=(0, 1))), (params, x))
+        add(f"L{L}F{F} fwd+bwd tables+x [contract]", jax.jit(jax.grad(
+            lambda p, x, s=spec: jnp.sum(
+                brick_encode(x, p, s).astype(jnp.float32)),
+            argnums=(0, 1))), (params, x))
+        add(f"L{L}F{F} fwd [cmp]", jax.jit(lambda p, x, s=spec: jnp.sum(
+            brick_encode(x, p, s, dx_impl="cmp").astype(jnp.float32))),
+            (params, x))
+        add(f"L{L}F{F} fwd+bwd tables [cmp]", jax.jit(jax.grad(
+            lambda p, x, s=spec: jnp.sum(
+                brick_encode(x, p, s, dx_impl="cmp").astype(jnp.float32)))),
+            (params, x))
+        add(f"L{L}F{F} fwd+bwd tables+x [cmp]", jax.jit(jax.grad(
+            lambda p, x, s=spec: jnp.sum(
+                brick_encode(x, p, s, dx_impl="cmp").astype(jnp.float32)),
+            argnums=(0, 1))), (params, x))
 
     run()
 
