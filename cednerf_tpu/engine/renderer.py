@@ -34,7 +34,9 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
            block); R*M marks an unused slot;
       kept [R, M] bool — valid candidates that made the cut. Overflow drops
            the *last* rays' samples of a block, which the train loss
-           neutralizes with the per-ray `complete` flag.
+           neutralizes with the per-ray `complete` flag;
+      rank [R, M] i32 — each kept candidate's row in the compacted buffer
+           (garbage where not kept): the inverse of `sel`.
 
     Built from one cumsum + one scatter of unique indices — the
     compile-friendly form (jnp.nonzero's path and unsorted scatters were
@@ -49,7 +51,7 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
     nb = n // n_blocks
     bb = budget // n_blocks
 
-    def one_block(flat):
+    def one_block(flat, blk):
         dest = jnp.cumsum(flat.astype(jnp.int32)) - 1
         write = flat & (dest < bb)
         # Non-written entries get distinct out-of-bounds slots so the scatter
@@ -61,12 +63,20 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
             .set(jnp.arange(nb, dtype=jnp.int32), mode="drop",
                  unique_indices=True)
         )
-        return sel, write
+        return sel, write, dest + blk * bb
 
-    sel_b, write_b = jax.vmap(one_block)(valid.reshape(n_blocks, nb))
+    sel_b, write_b, rank_b = jax.vmap(one_block)(
+        valid.reshape(n_blocks, nb), jnp.arange(n_blocks, dtype=jnp.int32))
     base = (jnp.arange(n_blocks, dtype=jnp.int32) * nb)[:, None]
     sel = jnp.where(sel_b < nb, sel_b + base, n).reshape(-1)
-    return sel, write_b.reshape(r, m)
+    return sel, write_b.reshape(r, m), rank_b.reshape(r, m)
+
+
+# NOTE(perf): a scatter-free "gather by rank" expansion of the compacted
+# results back to the lattice (dense[i] = packed[cumsum(kept)-1], custom VJP
+# gathering by sel) was tried and measured SLOWER end-to-end (+22 ms/step):
+# the gather runs per lattice slot (R*M = 1.77M tiny rows) while the scatter
+# below runs per budget row (262k) — in-program, per-row counts dominate.
 
 
 def render_rays_budget(
@@ -97,7 +107,7 @@ def render_rays_budget(
     """
     r, m = cand.valid.shape
     n = r * m
-    sel, kept = compact_select(cand.valid, budget, n_blocks=n_blocks)
+    sel, kept, rank = compact_select(cand.valid, budget, n_blocks=n_blocks)
     sel_valid = sel < n
     sel_c = jnp.minimum(sel, n - 1)
     srt = n_blocks == 1  # sel ascending only in the single-block layout

@@ -42,7 +42,7 @@ def test_compact_select_roundtrip():
     rng = np.random.default_rng(3)
     valid = jnp.asarray(rng.random((8, 16)) < 0.4)
     n_valid = int(valid.sum())
-    sel, kept = compact_select(valid, budget=n_valid + 8)
+    sel, kept, rank = compact_select(valid, budget=n_valid + 8)
     # every valid candidate selected exactly once, in ascending order
     sel_np = np.asarray(sel)
     real = sel_np[sel_np < 8 * 16]
@@ -51,13 +51,22 @@ def test_compact_select_roundtrip():
     np.testing.assert_array_equal(np.asarray(kept), np.asarray(valid))
     expected = np.flatnonzero(np.asarray(valid).reshape(-1))
     np.testing.assert_array_equal(real, expected)
+    # rank is sel's inverse on kept candidates
+    rank_np = np.asarray(rank).reshape(-1)
+    kept_np = np.asarray(kept).reshape(-1)
+    for i in np.flatnonzero(kept_np):
+        assert sel_np[rank_np[i]] == i
 
 
 def test_compact_select_overflow_and_blocks():
     rng = np.random.default_rng(4)
     valid = jnp.asarray(rng.random((8, 16)) < 0.9)
-    sel, kept = compact_select(valid, budget=32, n_blocks=4)
+    sel, kept, rank = compact_select(valid, budget=32, n_blocks=4)
     kept_np = np.asarray(kept)
+    # block-adjusted rank inverts sel here too
+    sel_np, rank_flat = np.asarray(sel), np.asarray(rank).reshape(-1)
+    for i in np.flatnonzero(kept_np.reshape(-1)):
+        assert sel_np[rank_flat[i]] == i
     # each 2-ray block keeps at most 8 samples, a flat prefix of its valids
     for b in range(4):
         block_valid = np.asarray(valid)[2 * b:2 * b + 2].reshape(-1)
