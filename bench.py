@@ -46,7 +46,7 @@ def main():
     scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
 
     trainer = Trainer(field, cfg, flags, scene, seed=0,
-                      device_sampler=scene.device_sampler(), steps_per_call=16)
+                      device_sampler=scene.device_sampler(), steps_per_call=32)
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "

@@ -82,13 +82,14 @@ class SceneConfig:
         return self.target_sample_batch_size
 
     def ray_buckets(self) -> Tuple[int, ...]:
-        """Allowed ray counts: a ~2^(1/4) geometric ladder of multiples of 64.
+        """Allowed ray counts: a ~2^(1/8) geometric ladder of multiples of 64.
 
         Bucket utilization of the fixed sample budget is headroom/ratio ..
         headroom, so the ratio directly bounds wasted field-eval slots
-        (2^(1/4) => >=80% at headroom 0.95). Each bucket is one compiled
-        program; runs visit only the few buckets their demand drifts through
-        (cached on disk across runs).
+        (2^(1/8) => >=87% at headroom 0.95; the earlier 2^(1/4) ladder
+        floored at 80% and benched ~83% mean utilization). Each bucket is
+        one compiled program; runs visit only the few buckets their demand
+        drifts through (cached on disk across runs).
 
         The floor keeps warmup legal: with a fully dense grid every candidate
         is valid, so demand = n_rays * max_march_steps must be able to sit at
@@ -99,7 +100,7 @@ class SceneConfig:
         hi = self.sample_budget // 16  # cap: >=16 expected samples/ray
         out = [lo]
         while True:
-            n = -(-int(out[-1] * 2 ** 0.25) // 64) * 64
+            n = -(-int(out[-1] * 2 ** 0.125) // 64) * 64
             if n > hi:
                 break
             out.append(n)

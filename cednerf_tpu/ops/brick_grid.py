@@ -647,6 +647,104 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
     return enc(flat, x)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
+                          n_feat: int, keyframes: int, dtype_name: str,
+                          table_dtype_name: str = "float32"):
+    """Analytic custom-VJP 4D level encode: (flat [rows*K, 64F], x, t) -> [N, F].
+
+    Keyframe-lerped brick rows (lerp(table[row,k], table[row,k+1], t_frac)
+    inside the spatial interpolation — semantics of the reference's 4D Taichi
+    encoder, hash_encoder_inter.py:146-199). The backward mirrors the 3D
+    cmp-lane path: compare-built [N, 64F] lane weights, two scatter-adds
+    (cotangent split (1-t_frac)/t_frac between the keyframe slots, matching
+    hash_encoder_inter.py:202-276), the lane-dot position gradient, and —
+    unlike the reference, which returns no input grads (its :423) — an
+    analytic time gradient d_t = sum(w * (hi - lo) * g) * (K-1).
+    """
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+    K = keyframes
+
+    def geom(x):
+        return _level_geom(x, scale, nb, hashed, n_rows)
+
+    def time_geom(t):
+        t_scaled = t.reshape(-1) * (K - 1)
+        idx_lo = jnp.clip(jnp.floor(t_scaled), 0, K - 2).astype(jnp.int32)
+        t_frac = (t_scaled - idx_lo.astype(t_scaled.dtype)).astype(jnp.float32)
+        return idx_lo, t_frac
+
+    def cmp_lanes(intra, frac, with_d: bool):
+        ws, dws = [], []
+        for a in range(3):
+            w, dw = _lane_axis_weights_2d(a, intra[:, a], frac[:, a], cdtype,
+                                          F, with_d)
+            ws.append(w)
+            dws.append(dw)
+        return ws, dws
+
+    def fwd_impl(flat, x, t):
+        rows, intra, frac, _ = geom(x)
+        idx_lo, t_frac = time_geom(t)
+        w, _ = _axis_factors(intra, frac, cdtype)
+        w_full = _w_lanes(w, F)
+        fl = flat.astype(cdtype)
+        lo = jnp.take(fl, rows * K + idx_lo, axis=0)
+        hi = jnp.take(fl, rows * K + idx_lo + 1, axis=0)
+        tfc = t_frac[:, None].astype(cdtype)
+        feats = lo * (1.0 - tfc) + hi * tfc
+        sel = _feature_selector(F, cdtype)
+        out = jnp.dot(feats * w_full, sel, preferred_element_type=jnp.float32)
+        return out.astype(cdtype), lo, hi
+
+    @jax.custom_vjp
+    def enc(flat, x, t):
+        return fwd_impl(flat, x, t)[0]
+
+    def fwd(flat, x, t):
+        out, lo, hi = fwd_impl(flat, x, t)
+        return out, (x, t, lo, hi)
+
+    _expand_np = (np.zeros((1, CORNERS_PER_BRICK, 1), np.float32)
+                  + np.eye(n_feat, dtype=np.float32)[:, None, :]).reshape(
+                      n_feat, W)
+
+    def bwd(res, g):
+        x, t, lo, hi = res
+        rows, intra, frac, ok = geom(x)
+        idx_lo, t_frac = time_geom(t)
+        (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
+        w_row = wx * wy * wz
+        expand = jnp.asarray(_expand_np, cdtype)
+        gout = jnp.dot(g.astype(cdtype), expand)        # [N, W]
+        upd = w_row * gout
+        tfc = t_frac[:, None]
+        d_flat = (
+            jnp.zeros((n_rows * K, W), jnp.float32)
+            .at[rows * K + idx_lo].add(upd.astype(jnp.float32) * (1.0 - tfc))
+            .at[rows * K + idx_lo + 1].add(upd.astype(jnp.float32) * tfc)
+        )
+        feats = lo * (1.0 - tfc.astype(cdtype)) + hi * tfc.astype(cdtype)
+        h = feats * gout
+
+        def lane_dot(a_, b_, c_):
+            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
+
+        d_frac = jnp.stack(
+            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
+             lane_dot(wx, wy, dwz)], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        d_tf = jnp.sum(((hi - lo) * upd).astype(jnp.float32), axis=-1)
+        d_t = (d_tf * jnp.float32(K - 1)).reshape(t.shape).astype(t.dtype)
+        return (d_flat.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype), d_t)
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
 def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None,
                  compute_dtype=jnp.bfloat16, use_custom_vjp: bool = True,
                  dx_impl: str = "hybrid"):
@@ -700,25 +798,32 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 )
                 outs.append(out.astype(compute_dtype))
             continue
-        rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,
-                                          weight_dtype=compute_dtype)
         if lay["hashed"]:
             # stored keyframe-major: [rows, K, 64, F]
-            table = params[f"bricks_{lvl}"].astype(compute_dtype)
+            table = params[f"bricks_{lvl}"]
         else:
             table = _materialize_dense_bricks(
                 params[f"grid_{lvl}"], lay["n_bricks_axis"]
-            ).astype(compute_dtype)  # [rows, 64, K*F] corner-major
+            )  # [rows, 64, K*F] corner-major
             nb3 = table.shape[0]
             table = (
                 table.reshape(nb3, CORNERS_PER_BRICK, k, f)
                 .transpose(0, 2, 1, 3)
                 .reshape(nb3, k * spec.row_width)
             )
-        # gather only the two relevant keyframe slices (512B rows each)
         flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
-        lo = jnp.take(flat, rows * k + idx_lo, axis=0)
-        hi = jnp.take(flat, rows * k + idx_lo + 1, axis=0)
+        if use_custom_vjp:
+            enc = _make_level_encode_4d(
+                float(scale), lay["n_bricks_axis"], lay["hashed"],
+                lay["rows"], f, k, jnp.dtype(compute_dtype).name,
+                flat.dtype.name)
+            outs.append(enc(flat, x, t))
+            continue
+        rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,
+                                          weight_dtype=compute_dtype)
+        # gather only the two relevant keyframe slices (512B rows each)
+        lo = jnp.take(flat.astype(compute_dtype), rows * k + idx_lo, axis=0)
+        hi = jnp.take(flat.astype(compute_dtype), rows * k + idx_lo + 1, axis=0)
         tfc = t_frac[:, None].astype(compute_dtype)
         feats = lo * (1.0 - tfc) + hi * tfc
         out = jnp.dot(

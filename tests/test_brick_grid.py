@@ -203,6 +203,37 @@ def test_variant_impls_match_default():
                                    rtol=5e-2, atol=2e-3, err_msg=name)
 
 
+def test_4d_custom_vjp_matches_autodiff():
+    """The analytic 4D backward (keyframe-split table grads, position grad,
+    time grad) must match pure autodiff through the same forward math."""
+    spec = small_spec(n_levels=3, base_res=4, max_res=32, log2_hashmap_size=8,
+                      time_keyframes=4)
+    params = spec.init_params(jax.random.PRNGKey(20))
+    x = jax.random.uniform(jax.random.PRNGKey(21), (64, 3),
+                           minval=0.05, maxval=0.95)
+    t = jax.random.uniform(jax.random.PRNGKey(22), (64, 1))
+    g_out = jax.random.normal(jax.random.PRNGKey(23), (64, spec.output_dim))
+
+    def loss(p, xx, tt, custom):
+        out = brick_encode(xx, p, spec, t=tt, compute_dtype=jnp.float32,
+                           use_custom_vjp=custom)
+        return jnp.sum(out * g_out)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(params, x, t, True)),
+        np.asarray(loss(params, x, t, False)), rtol=1e-5)
+    gp_c, gx_c, gt_c = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, True)
+    gp_a, gx_a, gt_a = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, False)
+    for key in gp_c:
+        np.testing.assert_allclose(np.asarray(gp_c[key]),
+                                   np.asarray(gp_a[key]),
+                                   rtol=1e-4, atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_4d_keyframe_lerp():
     spec = small_spec(time_keyframes=4)
     params = spec.init_params(jax.random.PRNGKey(7))
