@@ -43,6 +43,12 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "or factored tri-planes")
     parser.add_argument("--hash4motion", action="store_true",
                         help="hash-grid motion net variant (model.py:165-199)")
+    parser.add_argument("--hash_levels", type=int, default=None,
+                        help="override encoder level count (preset default 8; "
+                             "reference parity: 16)")
+    parser.add_argument("--hash_features", type=int, default=None,
+                        help="override features per level (preset default 4; "
+                             "reference parity: 2)")
     return parser
 
 
@@ -72,6 +78,8 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
     return DNGPRadianceField(
         aabb=outer,
         moving_step=cfg.moving_step,
+        n_levels=cfg.hash_n_levels,
+        n_features_per_level=cfg.hash_n_features,
         dst_resolution=cfg.hash_dst_resolution,
         log2_hashmap_size=cfg.log2_hashmap_size,
         use_div_offsets=flags.use_div_offsets,

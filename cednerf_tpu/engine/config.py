@@ -50,6 +50,13 @@ class SceneConfig:
     milestones: Tuple[int, ...]
     lr: float = 1e-2
     log2_hashmap_size: int = 21         # train_real.py:262
+    # Encoder level/feature split. The reference uses 16 levels x 2 features
+    # (model.py:242-252); 8x4 keeps the same 32-dim output and measured
+    # equal quality on the synthetic gate (L16F2 eval 32.1 dB vs L8F4
+    # 33.2 dB, tools/validate_synthetic.py) while halving the per-sample
+    # gather/scatter row count — ~18% faster encoder fwd+bwd on v5e.
+    hash_n_levels: int = 8
+    hash_n_features: int = 4
     init_batch_size: int = 1024
     # TPU additions -----------------------------------------------------
     max_march_steps: int = 1024         # candidate steps per ray during marching

@@ -56,6 +56,14 @@ def main():
     from cednerf_tpu.utils.metrics import depth_to_img, ms_ssim, psnr
 
     cfg = config_for_scene(args.scene, args.max_steps)
+    if args.hash_levels or args.hash_features:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            hash_n_levels=args.hash_levels or cfg.hash_n_levels,
+            hash_n_features=args.hash_features or cfg.hash_n_features,
+        )
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
 
