@@ -76,6 +76,11 @@ class SceneConfig:
     # ray blocks compacted independently (engine/renderer.py compact_select);
     # set to the device count so the compaction stays shard-local on a mesh
     compact_blocks: int = 1
+    # steady-state per-ray candidate cap (renderer.pack_candidates): packs
+    # each ray's valid candidates into this many slots before cross-ray
+    # compaction, shrinking lattice-proportional ops by
+    # max_march_steps/steady_s_cap. 0 disables. Warmup always runs uncapped.
+    steady_s_cap: int = 256
 
     @property
     def sample_budget(self) -> int:

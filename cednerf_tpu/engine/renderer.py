@@ -80,6 +80,29 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
 # below runs per budget row (262k) — in-program, per-row counts dominate.
 
 
+def pack_candidates(cand: RayCandidates, s_cap: int):
+    """Per-ray compaction of valid candidates into the first `s_cap` slots.
+
+    At steady-state occupancy only ~10-15% of the [R, max_march_steps]
+    candidate lattice is valid; packing shrinks every downstream
+    lattice-proportional op (compaction cumsum, scatter-back buffer, render
+    scans) by max_march_steps / s_cap. Returns (packed RayCandidates
+    [R, s_cap], fits [R] bool — False where a ray had more than s_cap valid
+    candidates and was truncated; the train loss masks those rays out via
+    the `complete` flag, like budget overflow).
+
+    Not used during occupancy warmup: a dense grid makes every candidate
+    valid, which would truncate (and so silence) every ray.
+    """
+    order = jnp.argsort(jnp.logical_not(cand.valid), axis=-1,
+                        stable=True)[:, :s_cap]
+    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    packed = RayCandidates(t_starts=take(cand.t_starts), dts=take(cand.dts),
+                           valid=take(cand.valid))
+    fits = jnp.sum(cand.valid, axis=-1) <= s_cap
+    return packed, fits
+
+
 def render_rays_budget(
     field,
     params,
@@ -94,6 +117,7 @@ def render_rays_budget(
     alpha_thre: float = 0.0,
     train: bool = True,
     n_blocks: int = 1,
+    ray_complete: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
     """Budgeted train-path rendering: evaluate the field on at most `budget`
     valid marching candidates (cross-ray compaction), scatter the results back
@@ -194,9 +218,12 @@ def render_rays_budget(
         "mask": mask,
         "t_starts": t_starts,
         "t_ends": t_ends,
-        # rays whose valid samples all survived the budget (loss mask)
-        "complete": jnp.logical_not(
-            jnp.any(cand.valid & jnp.logical_not(kept), axis=-1)
+        # rays whose valid samples all survived the budget (loss mask);
+        # ray_complete ANDs in upstream truncation (pack_candidates)
+        "complete": (
+            jnp.logical_not(
+                jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
+            & (True if ray_complete is None else ray_complete)
         ).astype(jnp.float32),
         # untruncated demand, for the host's ray-count feedback
         "n_valid": jnp.sum(cand.valid),

@@ -31,7 +31,7 @@ from ..ops import losses as L
 from ..ops.occupancy import (OccGridState, create_occ_grid, march_candidates,
                              update_occ_grid)
 from .config import ModelFlags, SceneConfig
-from .renderer import render_rays_budget
+from .renderer import pack_candidates, render_rays_budget
 
 
 class TrainState(NamedTuple):
@@ -97,13 +97,19 @@ def occ_mean_value(occ: OccGridState):
     return jnp.sum(jnp.where(visible, occ.occs, 0.0)) / jnp.maximum(jnp.sum(visible), 1)
 
 
-def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx):
+def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
+                   s_cap: int = 0):
     """The shared un-jitted train step: march + budgeted render + losses + Adam.
 
     batch: dict with origins [R,3], viewdirs [R,3], pixels [R,3],
     timestamps [R,1], color_bkgd [3]. The field-evaluation shape is fixed at
     `budget` samples; rays whose samples were dropped by the budget are
     masked out of the per-ray losses via the `complete` flag.
+
+    s_cap > 0 packs each ray's valid candidates into [R, s_cap] before the
+    cross-ray compaction (renderer.pack_candidates) — the steady-state
+    program's lattice ops shrink by max_march_steps/s_cap. Truncated rays
+    (> s_cap valid) are flagged incomplete. Leave 0 during occupancy warmup.
     """
 
     def one_step(state: TrainState, batch, key):
@@ -120,6 +126,11 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx):
             stratified_key=k_march,
         )
         occ_mean = occ_mean_value(state.occ)
+        n_valid_full = jnp.sum(cand.valid)
+        if s_cap and s_cap < cfg.max_march_steps:
+            cand, fits = pack_candidates(cand, s_cap)
+        else:
+            fits = None
 
         def loss_fn(params):
             out = render_rays_budget(
@@ -127,7 +138,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx):
                 batch["origins"], batch["viewdirs"], cand,
                 batch["timestamps"], batch["color_bkgd"], occ_mean,
                 budget=budget, alpha_thre=cfg.alpha_thre, train=True,
-                n_blocks=cfg.compact_blocks,
+                n_blocks=cfg.compact_blocks, ray_complete=fits,
             )
             extras = out.extras
             complete = extras["complete"]  # [R] 1.0 where no sample dropped
@@ -158,7 +169,9 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx):
             aux = {
                 "mse": mse,
                 "n_samples": out.n_samples,
-                "n_valid": extras["n_valid"],
+                # pre-packing demand: the host's ray-count feedback must see
+                # truncated rays' full demand
+                "n_valid": n_valid_full,
                 "max_depth": jnp.max(out.depth),
             }
             return loss, aux
@@ -222,7 +235,10 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
             ema_decay=cfg.occ_ema_decay, all_cells=warm,
         )
 
-    one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget, tx)
+    one_step = _make_one_step(
+        field, cfg, flags, budget or cfg.sample_budget, tx,
+        s_cap=0 if warmup_phase else cfg.steady_s_cap,
+    )
 
     @jax.jit
     def train_loop(state: TrainState, data, timestamps_pool, key, step0):

@@ -76,6 +76,49 @@ def test_compact_select_overflow_and_blocks():
         np.testing.assert_array_equal(np.flatnonzero(block_kept), first_idx)
 
 
+def test_pack_candidates_front_packs_and_flags_truncation():
+    from cednerf_tpu.engine.renderer import pack_candidates
+
+    rng = np.random.default_rng(7)
+    dts = jnp.asarray(rng.uniform(0.01, 0.05, (4, 16)), jnp.float32)
+    t0 = jnp.cumsum(dts, axis=-1) - dts
+    valid = jnp.asarray(rng.random((4, 16)) < 0.5)
+    cand = RayCandidates(t_starts=t0, dts=dts, valid=valid)
+    packed, fits = pack_candidates(cand, s_cap=4)
+    v = np.asarray(valid)
+    counts = v.sum(-1)
+    np.testing.assert_array_equal(np.asarray(fits), counts <= 4)
+    for r in range(4):
+        keep = min(counts[r], 4)
+        idx = np.flatnonzero(v[r])[:keep]
+        # first `keep` slots hold the first valid candidates, in order
+        np.testing.assert_array_equal(
+            np.asarray(packed.t_starts)[r, :keep], np.asarray(t0)[r, idx])
+        assert np.asarray(packed.valid)[r, :keep].all()
+
+
+def test_budgeted_with_pack_matches_unpacked():
+    """Capped-lattice rendering must agree with the uncapped path when no
+    ray is truncated (same samples, same budget)."""
+    from cednerf_tpu.engine.renderer import pack_candidates
+
+    field, params, o, d, cand, ts, bkgd = _setup(seed=5)
+    n_valid = int(cand.valid.sum())
+    max_count = int(jnp.max(jnp.sum(cand.valid, axis=-1)))
+    packed, fits = pack_candidates(cand, s_cap=max_count)
+    assert bool(jnp.all(fits))
+    a = render_rays_budget(field, params, o, d, cand, ts, bkgd,
+                           budget=n_valid + 8, train=True)
+    b = render_rays_budget(field, params, o, d, packed, ts, bkgd,
+                           budget=n_valid + 8, train=True, ray_complete=fits)
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.extras["complete"]),
+                                  np.asarray(b.extras["complete"]))
+
+
 def test_budgeted_matches_dense_when_budget_sufficient():
     field, params, o, d, cand, ts, bkgd = _setup()
     samples = RaySamples(t_starts=cand.t_starts, t_ends=cand.t_ends,
