@@ -119,6 +119,34 @@ class DNeRFSyntheticDataset:
             "color_bkgd": bkgd,
         }
 
+    def device_sampler(self):
+        """(data, sample_fn) for the scanned on-device training fast path."""
+        from ..engine.sampling import dnerf_device_data
+
+        return dnerf_device_data(self)
+
+    # --- hemispherical-orbit video rendering (datasets/utils.py:114-133) --- #
+
+    def render_poses(self, n_frames: int = 120) -> dict:
+        from .rays import generate_hemispherical_orbit
+
+        return {"c2w": generate_hemispherical_orbit(self.camtoworlds, n_frames)}
+
+    def pose_rays(self, poses: dict, index: int) -> dict:
+        c2w_one = poses["c2w"][index]
+        x, y = np.meshgrid(np.arange(self.width, dtype=np.float32),
+                           np.arange(self.height, dtype=np.float32),
+                           indexing="xy")
+        x, y = x.reshape(-1), y.reshape(-1)
+        c2w = np.broadcast_to(c2w_one, (x.shape[0], 3, 4))
+        origins, viewdirs, _ = pinhole_rays(x, y, self.K, c2w, OPENGL_CAMERA)
+        hw = (self.height, self.width)
+        return {
+            "origins": origins.reshape(*hw, 3),
+            "viewdirs": viewdirs.reshape(*hw, 3),
+            "timestamp": index / len(poses["c2w"]),
+        }
+
     def image_rays(self, index: int) -> dict:
         """Full-image eval rays for test/val frames (dnerf_synthetic.py:189-197)."""
         x, y = np.meshgrid(

@@ -216,6 +216,9 @@ def config_for_scene(scene: str, max_steps: Optional[int] = None) -> SceneConfig
     """Scene-name -> preset dispatch (train_real.py:86,119,151)."""
     from ..datasets import DNERF_SYNTHETIC_SCENES, DYNERF_SCENES, HYPERNERF_SCENES
 
+    if scene.startswith("procedural"):
+        # dataset-free analytic scenes (datasets/procedural.py)
+        return dnerf_config(max_steps or 2000)
     if scene in DNERF_SYNTHETIC_SCENES:
         return dnerf_config(max_steps or 20000)
     if scene in HYPERNERF_SCENES:

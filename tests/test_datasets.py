@@ -270,3 +270,28 @@ def test_spiral_path_shapes():
     # rotations orthonormal
     rtr = np.einsum("nij,nik->njk", sp[:, :, :3], sp[:, :, :3])
     np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), (30, 3, 3)), atol=1e-5)
+
+
+def test_procedural_loader_protocol():
+    """ProceduralLoader implements the train_real.py dataset protocol."""
+    from cednerf_tpu.datasets.procedural import ProceduralLoader
+
+    for subject in ("procedural", "procedural_cloud"):
+        ds = ProceduralLoader(subject_id=subject, split="test")
+        assert len(ds) == 4
+        img = ds.image_rays(0)
+        wh = (ds.height, ds.width)
+        assert img["origins"].shape == (*wh, 3)
+        assert img["pixels"].shape == (*wh, 3)
+        assert 0.0 <= img["timestamp"] <= 1.0
+        poses = ds.render_poses(n_frames=6)
+        assert poses["c2w"].shape[0] == 6
+        pr = ds.pose_rays(poses, 3)
+        assert pr["origins"].shape == (*wh, 3)
+        assert pr["viewdirs"].shape == (*wh, 3)
+        batch = ds.sample(64)
+        for k in ("origins", "viewdirs", "pixels", "timestamps"):
+            assert batch[k].shape[0] == 64, k
+        assert ds.timestamps_pool.shape[1] == 1
+        data, fn = ds.device_sampler()
+        assert callable(fn)

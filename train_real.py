@@ -32,7 +32,9 @@ def main():
                         choices=["train", "trainval"])
     parser.add_argument(
         "--scene", type=str, default="lego",
-        choices=DNERF_SYNTHETIC_SCENES + DYNERF_SCENES + HYPERNERF_SCENES,
+        choices=list(DNERF_SYNTHETIC_SCENES) + list(DYNERF_SCENES)
+        + list(HYPERNERF_SCENES)
+        + ["procedural", "procedural_cloud"],  # dataset-free analytic scenes
     )
     parser.add_argument("--max_steps", type=int, default=None,
                         help="override the preset step count")
@@ -67,7 +69,11 @@ def main():
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
 
-    if args.scene in DNERF_SYNTHETIC_SCENES:
+    if args.scene.startswith("procedural"):
+        from cednerf_tpu.datasets.procedural import ProceduralLoader as Loader
+
+        loader_kwargs = {}
+    elif args.scene in DNERF_SYNTHETIC_SCENES:
         from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset as Loader
 
         loader_kwargs = {}
@@ -99,20 +105,15 @@ def main():
         train_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
                                split=args.train_split, num_rays=cfg.init_batch_size,
                                **loader_kwargs)
-        trainer = Trainer(field, cfg, flags, train_dataset, seed=42)
+        # loaders that can generate batches in-jit enable the scanned
+        # multi-step fast path (one dispatch per 16 steps)
+        device_sampler = (train_dataset.device_sampler()
+                          if hasattr(train_dataset, "device_sampler") else None)
+        trainer = Trainer(field, cfg, flags, train_dataset, seed=42,
+                          device_sampler=device_sampler)
 
         tic = time.time()
-        for step in range(cfg.max_steps + 1):
-            metrics = trainer.run_step()
-            if step % 10000 == 0:
-                elapsed = time.time() - tic
-                print(
-                    f"elapsed_time={elapsed:.2f}s | step={step} | "
-                    f"loss={metrics['loss']:.5f} | psnr={metrics['psnr']:.2f} | "
-                    f"n_rendering_samples={int(metrics['n_samples'])} | "
-                    f"num_rays={int(metrics['num_rays'])} | "
-                    f"max_depth={metrics['max_depth']:.3f} |"
-                )
+        trainer.run(cfg.max_steps, log_every=10000)
         state = trainer.state
         save_checkpoint(args.model_path, state, trainer.step)
         print(f"train time: {time.time() - tic:.2f}s; saved {args.model_path}")
