@@ -192,10 +192,16 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
 
 
 def make_train_step(field, cfg: SceneConfig, flags: ModelFlags,
-                    budget: Optional[int] = None):
-    """Jitted single train step (see _make_one_step for the batch contract)."""
+                    budget: Optional[int] = None, s_cap: int = 0):
+    """Jitted single train step (see _make_one_step for the batch contract).
+
+    s_cap: steady-state per-ray candidate cap (0 = uncapped; see
+    _make_one_step). The Trainer's scanned loop applies cfg.steady_s_cap
+    automatically; this standalone step stays uncapped by default so it is
+    safe in any phase."""
     tx = make_optimizer(cfg)
-    one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget, tx)
+    one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget,
+                              tx, s_cap=s_cap)
 
     @jax.jit
     def train_step(state: TrainState, batch, key):

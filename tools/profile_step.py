@@ -121,6 +121,10 @@ def main():
     timed(step_fn, (state, batch, key), args.iters,
           f"train_step [{R} rays, budget {n_eval}]",
           fetch=lambda out: out[1]["loss"])
+    step_fn_cap = make_train_step(field, cfg, flags, s_cap=cfg.steady_s_cap)
+    timed(step_fn_cap, (state, batch, key), args.iters,
+          f"train_step s_cap={cfg.steady_s_cap}",
+          fetch=lambda out: out[1]["loss"])
 
 
 if __name__ == "__main__":
