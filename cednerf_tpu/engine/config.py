@@ -79,8 +79,11 @@ class SceneConfig:
     # steady-state per-ray candidate cap (renderer.pack_candidates): packs
     # each ray's valid candidates into this many slots before cross-ray
     # compaction, shrinking lattice-proportional ops by
-    # max_march_steps/steady_s_cap. 0 disables. Warmup always runs uncapped.
-    steady_s_cap: int = 256
+    # max_march_steps/steady_s_cap. Measured a net LOSS on v5e (+5 ms/step:
+    # the take_along_axis repack is per-element-gather-bound and costs more
+    # than the lattice shrink saves), so 0 (off) by default; kept as an
+    # option for hardware where lattice-width ops dominate.
+    steady_s_cap: int = 0
 
     @property
     def sample_budget(self) -> int:
