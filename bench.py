@@ -72,11 +72,12 @@ def main():
     while trainer.step < settle_end:
         trainer.run_chunk()
 
-    # Timed run: best of two windows (robust to residual drift).
+    # Timed run: mean over two windows (sustained throughput; best-of was
+    # rejected as systematically optimistic — ADVICE r1).
     # block_until_ready does not synchronize through remote TPU
     # attachments — fetch a metric scalar to the host instead.
     bench_steps = 320
-    samples_per_sec = 0.0
+    rates = []
     for window in range(2):
         total_samples = 0
         steps_done = 0
@@ -86,9 +87,10 @@ def main():
             total_samples += int(m["n_samples"]) * int(m["steps"])
             steps_done += int(m["steps"])
         elapsed = time.perf_counter() - t0
-        samples_per_sec = max(samples_per_sec, total_samples / elapsed)
+        rates.append(total_samples / elapsed)
         print(f"# window {window}: {total_samples / elapsed:.0f} samples/s",
               file=sys.stderr, flush=True)
+    samples_per_sec = sum(rates) / len(rates)
     print(json.dumps({
         "metric": "train_samples_per_sec",
         "value": round(samples_per_sec, 1),

@@ -366,8 +366,10 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
     average — ~4x fewer field slots than the dense [C, s_max] lattice at
     typical occupancy). Whether every ray fits the budget is known from the
     marching mask alone, so a dense fallback branch is compiled in and taken
-    (per chunk, via lax.cond) only on overflow — results are exact either
-    way.
+    (per chunk, via lax.cond) only on overflow. The fallback inherits the
+    per-ray s_max cap (eval_s_max): rays with more than s_max valid samples
+    still lose their deepest ones there, so overflow chunks are exact only
+    up to that pre-existing cap.
     """
     s_max = s_max or cfg.eval_s_max
 

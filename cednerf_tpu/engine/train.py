@@ -146,14 +146,15 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             sq = jnp.sum((out.rgb - batch["pixels"]) ** 2, axis=-1)
             mse = jnp.sum(complete * sq) / (3.0 * denom)
             loss = mse
-            # opt-in regularizers (train_real.py:369-409); per-ray terms are
-            # complete-masked, per-sample terms already zero on dropped rays
+            # opt-in regularizers (train_real.py:369-409); every per-ray
+            # reduction is complete-masked so budget/cap-truncated rays'
+            # partially-rendered weights never bias gradients
             if flags.use_opacity_loss:
                 loss += L.opacity_loss(out.opacity, ray_weights=complete) * 1e-3
             if flags.distortion_loss:
                 loss += L.distortion_loss(
                     extras["weights"], extras["t_starts"], extras["t_ends"],
-                    extras["mask"],
+                    extras["mask"], ray_weights=complete,
                 ) * 1e-3
             if flags.acc_entropy_loss:
                 loss += L.acc_entropy_loss(out.opacity, ray_weights=complete) * 1e-3
@@ -161,11 +162,14 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 loss += L.rgbper_loss(
                     extras["rgbs"], batch["pixels"],
                     jax.lax.stop_gradient(extras["weights"]), extras["mask"],
+                    ray_weights=complete,
                 ) * 1e-3
             if flags.use_feat_predict:
-                loss += jnp.mean(extras["latent_losses"])
+                loss += L.ray_mean(
+                    extras["latent_losses"].reshape(-1), complete)
             if flags.use_weight_predict:
-                loss += jnp.mean(extras["weight_losses"])
+                loss += L.ray_mean(
+                    extras["weight_losses"].reshape(-1), complete)
             aux = {
                 "mse": mse,
                 "n_samples": out.n_samples,

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from ..utils.math import exclusive_cumsum
 
 
-def distortion_loss(weights, t_starts, t_ends, mask=None):
+def distortion_loss(weights, t_starts, t_ends, mask=None, ray_weights=None):
     """Mip-NeRF 360 distortion loss, O(N) prefix-sum form, mean over rays.
 
     L(ray) = 2 * sum_i w_i (m_i * sum_{j<i} w_j - sum_{j<i} w_j m_j)
@@ -18,6 +18,9 @@ def distortion_loss(weights, t_starts, t_ends, mask=None):
     which equals sum_{ij} w_i w_j |m_i - m_j| + 1/3 sum_i w_i^2 dt_i for
     samples sorted by t (they are, per ray). Matches flatten_eff_distloss's
     normalization: mean of per-ray sums.
+
+    ray_weights: optional [R] 0/1 mask — budget-truncated rays carry
+    partially-rendered weights, so the train loss excludes them here too.
     """
     if mask is not None:
         weights = weights * mask
@@ -28,10 +31,10 @@ def distortion_loss(weights, t_starts, t_ends, mask=None):
     wm_prefix = exclusive_cumsum(wm, axis=-1)
     loss_bi = 2.0 * jnp.sum(weights * (mid * w_prefix - wm_prefix), axis=-1)
     loss_uni = (1.0 / 3.0) * jnp.sum(weights ** 2 * interval, axis=-1)
-    return jnp.mean(loss_bi + loss_uni)
+    return ray_mean(loss_bi + loss_uni, ray_weights)
 
 
-def _ray_mean(per_ray, ray_weights):
+def ray_mean(per_ray, ray_weights):
     """Mean over rays, optionally restricted to ray_weights (0/1 mask)."""
     if ray_weights is None:
         return jnp.mean(per_ray)
@@ -44,21 +47,23 @@ def opacity_loss(opacities, eps: float = 1e-6, ray_weights=None):
     (the reference NaNs at acc == 0; we don't reproduce that).
     ray_weights: optional [R] 0/1 mask (budget-dropped rays excluded)."""
     acc = jnp.clip(opacities, eps, 1.0)
-    return _ray_mean(-acc * jnp.log(acc), ray_weights)
+    return ray_mean(-acc * jnp.log(acc), ray_weights)
 
 
 def acc_entropy_loss(opacities, eps: float = 1e-6, ray_weights=None):
     """Binary entropy of the residual transmittance (train_real.py:388-392)."""
     t_last = jnp.clip(1.0 - opacities, eps, 1.0 - eps)
     ent = -(t_last * jnp.log(t_last) + (1.0 - t_last) * jnp.log(1.0 - t_last))
-    return _ray_mean(ent, ray_weights)
+    return ray_mean(ent, ray_weights)
 
 
-def rgbper_loss(rgbs, pixels, weights, mask):
+def rgbper_loss(rgbs, pixels, weights, mask, ray_weights=None):
     """Per-sample color-to-pixel penalty (train_real.py:394-396).
 
     rgbs: [R, S, 3]; pixels: [R, 3]; weights detached upstream.
-    sum_i ||rgb_i - pixel||^2 * w_i / n_rays.
+    sum_i ||rgb_i - pixel||^2 * w_i / n_rays; ray_weights optionally masks
+    budget-truncated rays out of the mean.
     """
     per = jnp.sum((rgbs - pixels[:, None, :]) ** 2, axis=-1)
-    return jnp.sum(per * weights * mask) / pixels.shape[0]
+    per_ray = jnp.sum(per * weights * mask, axis=-1)
+    return ray_mean(per_ray, ray_weights)
