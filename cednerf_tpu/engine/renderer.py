@@ -355,21 +355,33 @@ def render_rays(
 
 
 def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
-                        budgeted: bool = True):
+                        budgeted: bool = True, budget_per_ray: int = 64,
+                        early_stop_eps: float = 1e-4):
     """Jitted chunk renderer for full-image evaluation.
 
     Returns fn(params, occ_state, origins [C,3], viewdirs [C,3], timestamp
     scalar, render_bkgd [3]) -> (rgb, opacity, depth) for a fixed chunk C.
 
-    budgeted=True evaluates the field only on the chunk's valid marching
-    candidates (cross-ray compaction into a fixed budget of 64 slots/ray on
-    average — ~4x fewer field slots than the dense [C, s_max] lattice at
-    typical occupancy). Whether every ray fits the budget is known from the
-    marching mask alone, so a dense fallback branch is compiled in and taken
-    (per chunk, via lax.cond) only on overflow. The fallback inherits the
-    per-ray s_max cap (eval_s_max): rays with more than s_max valid samples
-    still lose their deepest ones there, so overflow chunks are exact only
-    up to that pre-existing cap.
+    budgeted=True is a resumable multi-pass marcher — the TPU counterpart of
+    the reference's alive-ray loop in `render_image_test(max_samples=...)`
+    (cednerf/utils.py:229-308):
+
+      * `s_max` is the per-ray max_samples contract: each ray evaluates at
+        most its first s_max valid marching candidates (the viewer's samples
+        slider genuinely trades speed for quality through it);
+      * each pass evaluates the field on at most `budget_per_ray * C` alive
+        candidates (cross-ray compaction into one fixed shape), composites
+        with the transmittance carried from earlier passes
+        (render_weight_from_density's prefix_trans mode,
+        cednerf/render.py:42-56), and marks them processed;
+      * rays whose transmittance drops below `early_stop_eps` stop consuming
+        budget (the reference's early termination, utils.py:300-306);
+      * a lax.while_loop repeats until no candidates remain — the field
+        compiles once and overflow chunks simply take more passes, so results
+        are exact up to the s_max cap and the early-stop threshold.
+
+    budgeted=False keeps the single-pass dense [C, s_max] lattice path
+    (reference shape for tests).
     """
     s_max = s_max or cfg.eval_s_max
 
@@ -388,33 +400,88 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
             cone_angle=cfg.cone_angle,
             max_march_steps=cfg.max_march_steps,
         )
+        # per-ray max_samples cap: only the first s_max valid candidates count
+        vcum = jnp.cumsum(cand.valid.astype(jnp.int32), axis=-1)
+        valid = cand.valid & (vcum <= s_max)
 
-        def budget_branch(_):
-            out = render_rays_budget(
-                field, params, origins, viewdirs, cand, t, render_bkgd,
-                budget=64 * n_rays, alpha_thre=cfg.alpha_thre, train=False,
-            )
-            return out.rgb, out.opacity, out.depth
-
-        def dense_branch(_):
-            order = jnp.argsort(jnp.logical_not(cand.valid), axis=-1,
+        if not budgeted:
+            order = jnp.argsort(jnp.logical_not(valid), axis=-1,
                                 stable=True)[:, :s_max]
             take = lambda a: jnp.take_along_axis(a, order, axis=-1)
             samples = RaySamples(t_starts=take(cand.t_starts),
                                  t_ends=take(cand.t_ends),
-                                 mask=take(cand.valid))
+                                 mask=take(valid))
             out = render_rays(
                 field, params, origins, viewdirs, samples, t, render_bkgd,
                 alpha_thre=cfg.alpha_thre, train=False,
             )
             return out.rgb, out.opacity, out.depth
 
-        if not budgeted:
-            return dense_branch(None)
+        r, m = valid.shape
+        n = r * m
+        budget = budget_per_ray * n_rays
+        ts_full = jnp.broadcast_to(jnp.reshape(t, (-1,))[:r], (r,))
+        ray_info = jnp.concatenate(
+            [origins, viewdirs, ts_full[:, None]], axis=-1)  # [R, 7]
+        tpack = jnp.stack(
+            [cand.t_starts.reshape(-1), cand.dts.reshape(-1)], axis=-1)
+        dts_lattice = cand.dts
 
-        _, kept, _ = compact_select(cand.valid, 64 * n_rays)
-        fits = jnp.logical_not(jnp.any(cand.valid & jnp.logical_not(kept)))
-        return jax.lax.cond(fits, budget_branch, dense_branch, None)
+        def one_pass(carry):
+            remaining, trans, rgb_acc, opac_acc, depth_acc = carry
+            sel, kept, _ = compact_select(remaining, budget)
+            sel_valid = sel < n
+            sel_c = jnp.minimum(sel, n - 1)
+            ray = sel_c // m
+            ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=True)
+            o, d = ri[:, 0:3], ri[:, 3:6]
+            tv = jnp.take(tpack, sel_c, axis=0, indices_are_sorted=True)
+            t0s, dts = tv[:, 0], tv[:, 1]
+            pos = o + d * (t0s + 0.5 * dts)[:, None]
+            rgb_c, res_c = field.apply(params, pos, ri[:, 6:7], d,
+                                       return_internal=False)
+            packed = jnp.concatenate(
+                [res_c["density"].astype(jnp.float32).reshape(-1, 1),
+                 rgb_c.astype(jnp.float32)], axis=-1) * sel_valid[:, None]
+            scat = jnp.where(sel_valid, sel,
+                             n + jnp.arange(budget, dtype=jnp.int32))
+            dense = (
+                jnp.zeros((n, 4), jnp.float32)
+                .at[scat]
+                .set(packed, mode="drop", unique_indices=True,
+                     indices_are_sorted=True)
+            )
+            sigmas = dense[:, 0].reshape(r, m)
+            rgbs = dense[:, 1:4].reshape(r, m, 3)
+
+            mask = kept
+            if cfg.alpha_thre > 0:
+                alpha_raw = 1.0 - jnp.exp(-sigmas * dts_lattice)
+                mask = mask & (alpha_raw > cfg.alpha_thre)
+
+            weights, _, _ = render_weights_from_density(
+                cand.t_starts, cand.t_ends, sigmas, mask, prefix_trans=trans
+            )
+            rgb_acc = rgb_acc + jnp.sum(weights[..., None] * rgbs, axis=-2)
+            opac_acc = opac_acc + jnp.sum(weights, axis=-1)
+            t_mid = (cand.t_starts + cand.t_ends) / 2.0
+            depth_acc = depth_acc + jnp.sum(weights * t_mid, axis=-1)
+            sdelta = sigmas * dts_lattice * mask
+            new_trans = trans * jnp.exp(-jnp.sum(sdelta, axis=-1))
+            remaining = (remaining & jnp.logical_not(kept)
+                         & (new_trans > early_stop_eps)[:, None])
+            return remaining, new_trans, rgb_acc, opac_acc, depth_acc
+
+        init = (valid, jnp.ones((r,), jnp.float32),
+                jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32),
+                jnp.zeros((r,), jnp.float32))
+        _, _, rgb_acc, opac_acc, depth_acc = jax.lax.while_loop(
+            lambda c: jnp.any(c[0]), one_pass, init)
+        opacity = opac_acc[:, None]
+        depth = (depth_acc[:, None]
+                 / jnp.maximum(opacity, jnp.float32(1.1920929e-07)))
+        rgb = rgb_acc + render_bkgd * (1.0 - opacity)
+        return rgb, opacity, depth
 
     return render_chunk
 
