@@ -193,9 +193,9 @@ class DyNeRFDataset:
         self.sampling_batch_size = 2_000_000
         self.sampling = "uniform"
         self.sampling_weights = None
+        self._weights_dir = os.path.join(root_fp, self._base_subject(subject_id))
         if self.training and sampling in ("isg", "ist"):
-            w = self._load_weights(os.path.join(root_fp, self._base_subject(subject_id)),
-                                   sampling)
+            w = self._load_weights(self._weights_dir, sampling)
             if w is not None:
                 self.sampling_weights = w.reshape(-1)
                 self.sampling_weights /= self.sampling_weights.sum()
@@ -236,12 +236,15 @@ class DyNeRFDataset:
             return torch.load(pt, map_location="cpu").numpy().astype(np.float32)
         return None
 
-    def switch_to_ist(self, root_fp_or_weights=None):
-        """Swap the sampling distribution to IST (dnerf_3d_video_IS.py:308)."""
-        if isinstance(root_fp_or_weights, np.ndarray):
-            w = root_fp_or_weights
+    def switch_to_ist(self, weights_or_dir=None):
+        """Swap the sampling distribution to IST (dnerf_3d_video_IS.py:308).
+
+        weights_or_dir: explicit weight array, a directory holding
+        ist_weights.npy/.pt, or None to use the scene's own weights dir."""
+        if isinstance(weights_or_dir, np.ndarray):
+            w = weights_or_dir
         else:
-            w = self._load_weights(root_fp_or_weights, "ist")
+            w = self._load_weights(weights_or_dir or self._weights_dir, "ist")
         if w is not None:
             self.sampling_weights = w.reshape(-1).astype(np.float32)
             self.sampling_weights /= self.sampling_weights.sum()

@@ -88,7 +88,7 @@ class BallScene:
         ball_color = jnp.asarray(BALL_COLOR)
         bg = jnp.asarray(BG)
 
-        def sample(d, key, n_rays: int):
+        def sample(d, key, n_rays: int, i=None):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
             ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
@@ -233,7 +233,7 @@ class BallCloudScene(BallScene):
         wh = self.wh
         bg = jnp.asarray(BG)
 
-        def sample(d, key, n_rays: int):
+        def sample(d, key, n_rays: int, i=None):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
             ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])

@@ -13,12 +13,10 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path: str, state, step: int):
-    """Write {params, opt_state, occ, step} to `path` (a directory)."""
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    ckpt = {
+def _ckpt_tree(state, step: int, key=None, bucket: int = 0):
+    if key is None:
+        key = np.zeros(2, np.uint32)
+    return {
         "params": state.params,
         "opt_state": state.opt_state,
         "occ": {
@@ -27,31 +25,41 @@ def save_checkpoint(path: str, state, step: int):
             "aabbs": state.occ.aabbs,
         },
         "step": np.asarray(step),
+        "key": np.asarray(key, np.uint32),
+        "bucket": np.asarray(bucket),
     }
+
+
+def save_checkpoint(path: str, state, step: int, key=None, bucket: int = 0):
+    """Write {params, opt_state, occ, step, key, bucket} to `path` (a dir).
+
+    `key`/`bucket` are the Trainer's RNG key and current ray bucket; saving
+    them makes a mid-run resume bit-exact with the uninterrupted run."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, ckpt, force=True)
+    ckptr.save(path, _ckpt_tree(state, step, key, bucket), force=True)
     ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str, state) -> tuple:
-    """Restore into the structure of `state`; returns (state, step)."""
+    """Restore into the structure of `state`; returns (state, step).
+
+    (Use `load_checkpoint_full` for the RNG key + bucket as well.)"""
+    state, step, _, _ = load_checkpoint_full(path, state)
+    return state, step
+
+
+def load_checkpoint_full(path: str, state) -> tuple:
+    """Returns (state, step, key [2] uint32, bucket int)."""
     import orbax.checkpoint as ocp
 
     from ..ops.occupancy import OccGridState
 
     path = os.path.abspath(path)
-    template = {
-        "params": state.params,
-        "opt_state": state.opt_state,
-        "occ": {
-            "occs": state.occ.occs,
-            "binaries": state.occ.binaries,
-            "aabbs": state.occ.aabbs,
-        },
-        "step": np.asarray(0),
-    }
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, template)
+    restored = ckptr.restore(path, _ckpt_tree(state, 0))
     occ = OccGridState(
         occs=restored["occ"]["occs"],
         binaries=restored["occ"]["binaries"],
@@ -59,4 +67,5 @@ def load_checkpoint(path: str, state) -> tuple:
     )
     new_state = state._replace(params=restored["params"],
                                opt_state=restored["opt_state"], occ=occ)
-    return new_state, int(restored["step"])
+    return (new_state, int(restored["step"]), restored["key"],
+            int(restored["bucket"]))

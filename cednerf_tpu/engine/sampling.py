@@ -52,7 +52,7 @@ def make_image_stack_sampler(opengl_camera: bool, bkgd_aug: str,
     background compositing (dnerf_synthetic.py:169-242) on device.
     """
 
-    def sample(data, key, n_rays: int):
+    def sample(data, key, n_rays: int, i=None):
         images = data["images"]
         n, h, w = images.shape[:3]
         k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -224,7 +224,9 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
 
     Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
     tunneled chip) and keeps ray sampling on-device. `sample_fn(data, key,
-    n_rays)` is a device sampler (engine/sampling.py). Occupancy updates run
+    n_rays, i)` is a device sampler (engine/sampling.py); `i` is the step
+    index within the scan (stacked host-batch samplers slice by it, true
+    device samplers ignore it). Occupancy updates run
     on their normal cadence inside the scan via lax.cond (warmup = all
     cells, after = sampled quarter).
 
@@ -277,7 +279,7 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
                 do_update, lambda o: o, state.occ,
             )
             state = state._replace(occ=occ)
-            batch = sample_fn(data, k_batch, n_rays)
+            batch = sample_fn(data, k_batch, n_rays, i)
             return one_step(state, batch, k_step)
 
         state, metrics = jax.lax.scan(body, state, jnp.arange(k_steps))
@@ -404,16 +406,49 @@ class Trainer:
             "steps": self.steps_per_call,
         }
 
-    def run(self, total_steps: int, log_every: int = 10000, log_fn=print):
-        """Drive training to `total_steps` using the fastest available path."""
+    def resume(self, path: str) -> int:
+        """Restore a mid-run checkpoint (state + step + RNG key + bucket).
+
+        Checkpoints are written at step-loop boundaries, so resuming replays
+        the exact step/RNG/bucket sequence of the uninterrupted run."""
+        from .checkpoint import load_checkpoint_full
+
+        self.state, self.step, key, bucket = load_checkpoint_full(
+            path, self.state)
+        self.key = jnp.asarray(key, jnp.uint32)
+        if bucket:
+            self.bucket = bucket
+        return self.step
+
+    def run(self, total_steps: int, log_every: int = 10000, log_fn=print,
+            hooks=(), checkpoint_dir=None, checkpoint_every: int = 0):
+        """Drive training to `total_steps` using the fastest available path.
+
+        hooks: iterable of (step, fn) pairs; each fn() runs once when training
+        first reaches that step (e.g. a dataset's ISG->IST switch). Hooks at
+        steps <= the current (resumed) step fire immediately.
+        checkpoint_dir/checkpoint_every: write a resumable rolling checkpoint
+        (see `resume`) every N steps; the final save stays the caller's job.
+        """
         import time as _time
 
+        from .checkpoint import save_checkpoint
+
+        pending = sorted(hooks, key=lambda h: h[0])
+        last_ckpt = self.step
         tic = _time.time()
         while self.step <= total_steps:
+            while pending and self.step >= pending[0][0]:
+                pending.pop(0)[1]()
             if self.device_sampler is not None:
                 m = self.run_chunk()
             else:
                 m = self.run_step()
+            if (checkpoint_every and checkpoint_dir
+                    and self.step - last_ckpt >= checkpoint_every):
+                save_checkpoint(checkpoint_dir, self.state, self.step,
+                                self.key, self.bucket)
+                last_ckpt = self.step
             if log_every and (self.step % log_every <
                               (self.steps_per_call if self.device_sampler else 1)):
                 log_fn(

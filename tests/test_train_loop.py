@@ -59,6 +59,53 @@ def test_run_dispatches_fast_path():
     assert logs  # logged at least once
 
 
+def test_resume_bit_exact(tmp_path):
+    """Kill-and-resume == uninterrupted: state, RNG key and bucket all
+    round-trip through the rolling checkpoint (VERDICT r1 item 8)."""
+    cfg = dataclasses.replace(tiny_cfg(), max_steps=40)
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    ckpt = str(tmp_path / "ckpt")
+
+    # interrupted run: 4 chunks, rolling checkpoint every 16 steps
+    a = Trainer(field, cfg, ModelFlags(), scene, seed=3,
+                device_sampler=scene.device_sampler(), steps_per_call=8)
+    a.run(24, log_every=0, checkpoint_dir=ckpt, checkpoint_every=16)
+    assert a.step == 32  # loop runs while step <= total
+
+    # resume in a fresh process-equivalent: new Trainer, restore, continue
+    b = Trainer(field, cfg, ModelFlags(), scene, seed=999,  # seed overwritten
+                device_sampler=scene.device_sampler(), steps_per_call=8)
+    assert b.resume(ckpt) == 32
+    b.run(40, log_every=0)
+
+    # uninterrupted control with the original seed
+    c = Trainer(field, cfg, ModelFlags(), scene, seed=3,
+                device_sampler=scene.device_sampler(), steps_per_call=8)
+    c.run(40, log_every=0)
+
+    assert b.step == c.step
+    jax.tree_util.tree_map(
+        lambda va, vb: np.testing.assert_array_equal(np.asarray(va),
+                                                     np.asarray(vb)),
+        b.state.params, c.state.params)
+
+
+def test_run_hooks_fire_once_at_step():
+    cfg = dataclasses.replace(tiny_cfg(), max_steps=24)
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=0,
+                      device_sampler=scene.device_sampler(), steps_per_call=8)
+    fired = []
+    trainer.run(24, log_every=0,
+                hooks=[(16, lambda: fired.append(trainer.step)),
+                       (0, lambda: fired.append(-trainer.step or -1))])
+    assert fired[0] == -1          # step-0 hook before the first chunk
+    assert fired[1] == 16          # fired exactly when step reached 16
+    assert len(fired) == 2         # each hook only once
+
+
 def test_image_stack_sampler_matches_host_rays():
     """Device sampler ray math == host loader ray math on a DNeRF fixture."""
     from test_datasets import make_dnerf_fixture

@@ -42,6 +42,20 @@ def main():
                         help="checkpoint directory (reference: model.pth)")
     parser.add_argument("--gui", action="store_true",
                         help="launch the interactive viewer after training")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume mid-run from --model_path (step, RNG and "
+                             "ray bucket restore bit-exact)")
+    parser.add_argument("--ckpt_every", type=int, default=10000,
+                        help="rolling-checkpoint interval in steps (0 = only "
+                             "the final save, the reference's behavior)")
+    parser.add_argument("--isg2ist_step", type=int, default=0,
+                        help="DyNeRF: switch ISG->IST importance sampling at "
+                             "this step (reference dnerf_3d_video_IS.py:308 "
+                             "switch_to_ist; 0 = never)")
+    parser.add_argument("--mark_invisible", action="store_true",
+                        help="mark occupancy cells outside all train frustums "
+                             "invisible (always on for DyNeRF --gui runs, "
+                             "reference train_real.py:205-211)")
     parser = get_model_args(parser)
     args = parser.parse_args()
 
@@ -112,10 +126,30 @@ def main():
         trainer = Trainer(field, cfg, flags, train_dataset, seed=42,
                           device_sampler=device_sampler)
 
+        if args.scene in DYNERF_SCENES and (args.gui or args.mark_invisible):
+            # frustum-cull the occupancy grid (reference train_real.py:205-211)
+            from cednerf_tpu.ops.occupancy import mark_invisible_cells
+
+            cam_poses = train_dataset.poses[::train_dataset.images_per_video]
+            trainer.state = trainer.state._replace(occ=mark_invisible_cells(
+                trainer.state.occ, train_dataset.K, cam_poses,
+                train_dataset.width, train_dataset.height,
+                near_plane=cfg.near_plane))
+
+        hooks = []
+        if args.isg2ist_step and hasattr(train_dataset, "switch_to_ist"):
+            hooks.append((args.isg2ist_step, train_dataset.switch_to_ist))
+
+        if args.resume:
+            print(f"resumed at step {trainer.resume(args.model_path)}")
+
         tic = time.time()
-        trainer.run(cfg.max_steps, log_every=10000)
+        trainer.run(cfg.max_steps, log_every=10000, hooks=hooks,
+                    checkpoint_dir=args.model_path,
+                    checkpoint_every=args.ckpt_every)
         state = trainer.state
-        save_checkpoint(args.model_path, state, trainer.step)
+        save_checkpoint(args.model_path, state, trainer.step,
+                        trainer.key, trainer.bucket)
         print(f"train time: {time.time() - tic:.2f}s; saved {args.model_path}")
 
         # evaluation (train_real.py:443-520)
