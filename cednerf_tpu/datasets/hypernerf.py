@@ -160,6 +160,13 @@ class HyperNeRFDataset:
             "color_bkgd": self._bkgd(rng),
         }
 
+    def device_sampler(self):
+        """(data, sample_fn) for the scanned on-device training fast path,
+        or None when per-image calibration defeats camera grouping."""
+        from ..engine.sampling import hypernerf_device_data
+
+        return hypernerf_device_data(self)
+
     def image_rays(self, index: int) -> dict:
         dirs = self._camera_dirs(index)
         origins = np.broadcast_to(

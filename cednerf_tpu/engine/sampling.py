@@ -11,7 +11,7 @@ is a pytree of device arrays and batch has origins/viewdirs/pixels/
 timestamps/color_bkgd.
 """
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
@@ -78,6 +78,102 @@ def make_image_stack_sampler(opengl_camera: bool, bkgd_aug: str,
         }
 
     return sample
+
+
+def make_stacked_sampler() -> Callable:
+    """Sampler over HOST-assembled stacked batches.
+
+    `data` is a batch dict whose leaves carry a leading steps-per-call dim
+    ([K, n_rays, ...] rays, [K, 3] backgrounds); scan step `i` slices row i.
+    Used for datasets whose sampling must stay on the host (DyNeRF's
+    multinomial over multi-GB weight maps) — the Trainer assembles the next
+    chunk's K batches while the device runs the current chunk, so host
+    sampling overlaps device compute instead of serializing with it
+    (reference equivalent: dnerf_3d_video_IS fetch_data each step).
+    """
+
+    def sample(data, key, n_rays: int, i):
+        del key, n_rays
+        return jax.tree_util.tree_map(lambda v: v[i], data)
+
+    return sample
+
+
+def make_hyper_sampler(bkgd_aug: str) -> Callable:
+    """Sampler over data = {images [N,H,W,3] u8, local_dirs [C,H,W,3] f32,
+    orientations [N,3,3], positions [N,3], timestamps [N], cam_group [N] i32}.
+
+    Reproduces the HyperNeRF host sampler (hypernerf.py:456-461 semantics:
+    ONE random image per batch, num_rays random pixels from it) with the
+    distortion camera's pixel->local-ray map precomputed per *physical*
+    camera (the Newton undistortion hoists to load time; world dirs are
+    local @ orientation, camera.py pixels_to_rays).
+    """
+
+    def sample(data, key, n_rays: int, i=None):
+        images = data["images"]
+        n, h, w = images.shape[:3]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        img = jax.random.randint(k1, (), 0, n)
+        x = jax.random.randint(k2, (n_rays,), 0, w)
+        y = jax.random.randint(k3, (n_rays,), 0, h)
+        g = data["cam_group"][img]
+        local = data["local_dirs"][g, y, x]
+        world = local @ data["orientations"][img]
+        viewdirs = world / jnp.linalg.norm(world, axis=-1, keepdims=True)
+        origins = jnp.broadcast_to(data["positions"][img], viewdirs.shape)
+        pixels = images[img, y, x].astype(jnp.float32) / 255.0
+        return {
+            "origins": origins,
+            "viewdirs": viewdirs,
+            "pixels": pixels,
+            "timestamps": jnp.full((n_rays, 1), data["timestamps"][img]),
+            "color_bkgd": _bkgd_device(k4, bkgd_aug),
+        }
+
+    return sample
+
+
+def hypernerf_device_data(dataset) -> Optional[Tuple[dict, Callable]]:
+    """Put a HyperNeRFDataset in HBM + build its sampler.
+
+    Cameras are grouped by intrinsics signature; each group shares one
+    precomputed [H, W, 3] local-ray map (vrig scenes have 2 rig cameras,
+    others 1). Returns None when calibration is per-image (no grouping
+    win -> the local-dir stack would not fit HBM; host path instead).
+    """
+    groups = {}
+    cam_group = []
+    for cam in dataset.cameras:
+        sig = (
+            round(float(cam.focal_length), 6),
+            tuple(np.round(cam.principal_point, 6).tolist()),
+            round(float(cam.skew), 9),
+            round(float(cam.pixel_aspect_ratio), 9),
+            tuple(np.round(cam.radial_distortion, 9).tolist()),
+            tuple(np.round(cam.tangential_distortion, 9).tolist()),
+            tuple(int(v) for v in cam.image_size),
+        )
+        if sig not in groups:
+            groups[sig] = (len(groups), cam)
+        cam_group.append(groups[sig][0])
+    if len(groups) > 16:
+        return None
+    cams = sorted(groups.values(), key=lambda gc: gc[0])
+    local_dirs = np.stack(
+        [cam.pixel_to_local_rays(cam.get_pixel_centers()) for _, cam in cams]
+    ).astype(np.float32)
+    data = {
+        "images": jnp.asarray(dataset.images),
+        "local_dirs": jnp.asarray(local_dirs),
+        "orientations": jnp.asarray(
+            np.stack([c.orientation for c in dataset.cameras]), jnp.float32),
+        "positions": jnp.asarray(
+            np.stack([c.position for c in dataset.cameras]), jnp.float32),
+        "timestamps": jnp.asarray(dataset.timestamps, jnp.float32),
+        "cam_group": jnp.asarray(np.asarray(cam_group, np.int32)),
+    }
+    return data, make_hyper_sampler(dataset.color_bkgd_aug)
 
 
 def dnerf_device_data(dataset) -> Tuple[dict, Callable]:

@@ -297,9 +297,15 @@ class Trainer:
 
     def __init__(self, field, cfg: SceneConfig, flags: ModelFlags, dataset,
                  seed: int = 42, device_sampler=None, steps_per_call: int = 16,
-                 adapt_bucket: bool = True):
+                 adapt_bucket: bool = True, stacked_host: bool = False):
         """device_sampler: optional (data_pytree, sample_fn) pair
         (engine/sampling.py) enabling the scanned multi-step fast path.
+        stacked_host=True runs the same scanned path for host-sampling
+        datasets: each chunk's K batches are assembled on the host (stacked
+        along a leading dim) and the NEXT chunk is assembled while the
+        device runs the current one (double buffering; the dispatch is
+        async until the metrics fetch). Host RNG then lives in the dataset,
+        so `resume` restores the step/bucket but not the sample sequence.
         adapt_bucket=False freezes the (n_rays, s_max) bucket after warmup —
         one steady-state program instead of one per visited bucket (used by
         bench runs where compile count matters)."""
@@ -316,6 +322,12 @@ class Trainer:
         self.bucket = cfg.ray_buckets()[0]
         self._step_fns = {}
         self._loop_fns = {}
+        self._stacked = bool(stacked_host) and device_sampler is None
+        self._prefetched = None
+        if self._stacked:
+            from .sampling import make_stacked_sampler
+
+            device_sampler = (None, make_stacked_sampler())
         self.device_sampler = device_sampler
         self.steps_per_call = steps_per_call
         self.adapt_bucket = adapt_bucket
@@ -361,6 +373,15 @@ class Trainer:
 
     # ---------------- scanned multi-step fast path ---------------- #
 
+    def _assemble_stacked(self, n_rays: int) -> dict:
+        """K host batches stacked along a leading dim (np, pre-transfer)."""
+        batches = [self.dataset.sample(n_rays, None)
+                   for _ in range(self.steps_per_call)]
+        return {
+            k: np.stack([np.asarray(b[k]) for b in batches])
+            for k in batches[0]
+        }
+
     def _loop_fn(self, n_rays: int):
         warmup = self._warmup_now()
         keyed = (n_rays, warmup)
@@ -382,11 +403,23 @@ class Trainer:
         cfg = self.cfg
         n_rays = self.bucket
         self.key, k = jax.random.split(self.key)
-        data, _ = self.device_sampler
+        if self._stacked:
+            if self._prefetched is not None and self._prefetched[0] == n_rays:
+                data = self._prefetched[1]
+            else:
+                data = self._assemble_stacked(n_rays)
+            self._prefetched = None
+        else:
+            data, _ = self.device_sampler
         self.state, metrics = self._loop_fn(n_rays)(
             self.state, data, self.timestamps_pool, k,
             jnp.asarray(self.step, jnp.int32),
         )
+        if self._stacked:
+            # the dispatch above is async until the metric fetches below —
+            # assemble the next chunk NOW so host sampling overlaps device
+            # compute (discarded if the ray bucket adapts this chunk)
+            self._prefetched = (n_rays, self._assemble_stacked(n_rays))
         self.step += self.steps_per_call
 
         mean_samples = float(jnp.mean(metrics["n_samples"]))

@@ -106,6 +106,75 @@ def test_run_hooks_fire_once_at_step():
     assert len(fired) == 2         # each hook only once
 
 
+def test_stacked_host_path_trains():
+    """stacked_host Trainer runs the scanned loop on host-assembled batches
+    (the DyNeRF overlap path) and trains on a DyNeRF fixture."""
+    import tempfile
+
+    from test_datasets import make_dynerf_fixture
+    from cednerf_tpu.datasets.dynerf import DyNeRFDataset
+
+    with tempfile.TemporaryDirectory() as root:
+        make_dynerf_fixture(root)
+        ds = DyNeRFDataset("cook_spinach", root, "train", num_rays=32,
+                           factor=4, sampling="uniform")
+        cfg = dataclasses.replace(tiny_cfg(), max_steps=16)
+        trainer = Trainer(tiny_field(cfg), cfg, ModelFlags(), ds, seed=0,
+                          steps_per_call=4, stacked_host=True)
+        assert trainer._stacked and trainer.device_sampler[0] is None
+        m1 = trainer.run_chunk()
+        assert trainer._prefetched is not None  # double buffer primed
+        m2 = trainer.run_chunk()
+        assert trainer.step == 8
+        assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+
+
+def test_stacked_sampler_slices_by_step():
+    from cednerf_tpu.engine.sampling import make_stacked_sampler
+
+    sample = make_stacked_sampler()
+    data = {"origins": jnp.arange(24.0).reshape(4, 2, 3),
+            "color_bkgd": jnp.arange(12.0).reshape(4, 3)}
+    out = sample(data, None, 2, 2)
+    np.testing.assert_array_equal(np.asarray(out["origins"]),
+                                  np.asarray(data["origins"][2]))
+    np.testing.assert_array_equal(np.asarray(out["color_bkgd"]),
+                                  np.asarray(data["color_bkgd"][2]))
+
+
+def test_hyper_device_sampler_matches_host_rays():
+    """HyperNeRF device sampler == host loader ray math on a fixture."""
+    from test_datasets import make_hypernerf_fixture
+    from cednerf_tpu.datasets.hypernerf import HyperNeRFDataset
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        make_hypernerf_fixture(root)
+        ds = HyperNeRFDataset("vrig_test", root, "train", num_rays=16,
+                              factor=2, add_cam=True)
+        data, sample = ds.device_sampler()
+        batch = jax.jit(sample, static_argnums=2)(
+            data, jax.random.PRNGKey(0), 16)
+        # one image per batch (hypernerf.py:456-461): all origins identical
+        assert np.ptp(np.asarray(batch["origins"]), axis=0).max() == 0.0
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(batch["viewdirs"]), axis=-1), 1.0,
+            atol=1e-5)
+        # pin the image and pixels; compare against the host camera model
+        img, y, x = 1, 3, 7
+        one = sample(
+            {**data, "timestamps": data["timestamps"]},
+            jax.random.PRNGKey(3), 4)
+        host_dirs = ds._camera_dirs(img)
+        dev_local = np.asarray(data["local_dirs"][data["cam_group"][img]])
+        world = dev_local[y, x] @ np.asarray(data["orientations"][img])
+        world /= np.linalg.norm(world)
+        np.testing.assert_allclose(world, host_dirs[y, x], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(data["positions"][img]),
+                                   ds.cameras[img].position, atol=1e-6)
+        assert one["pixels"].shape == (4, 3)
+
+
 def test_image_stack_sampler_matches_host_rays():
     """Device sampler ray math == host loader ray math on a DNeRF fixture."""
     from test_datasets import make_dnerf_fixture

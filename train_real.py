@@ -120,11 +120,14 @@ def main():
                                split=args.train_split, num_rays=cfg.init_batch_size,
                                **loader_kwargs)
         # loaders that can generate batches in-jit enable the scanned
-        # multi-step fast path (one dispatch per 16 steps)
+        # multi-step fast path (one dispatch per 16 steps); host-sampling
+        # loaders (DyNeRF importance sampling) run the same scanned path on
+        # stacked host batches, double-buffered against device compute
         device_sampler = (train_dataset.device_sampler()
                           if hasattr(train_dataset, "device_sampler") else None)
         trainer = Trainer(field, cfg, flags, train_dataset, seed=42,
-                          device_sampler=device_sampler)
+                          device_sampler=device_sampler,
+                          stacked_host=device_sampler is None)
 
         if args.scene in DYNERF_SCENES and (args.gui or args.mark_invisible):
             # frustum-cull the occupancy grid (reference train_real.py:205-211)
