@@ -57,6 +57,11 @@ class SceneConfig:
     # gather/scatter row count — ~18% faster encoder fwd+bwd on v5e.
     hash_n_levels: int = 8
     hash_n_features: int = 4
+    # encoder table-gradient accumulator dtype: bf16 removes the backward's
+    # per-level [N, 64F] f32 convert copies and halves scatter read traffic
+    # (the reference's tcnn accumulates hash grads in fp16); PSNR-gated on
+    # the synthetic scene (tools/validate_synthetic.py)
+    grad_accum_dtype: str = "bfloat16"
     init_batch_size: int = 1024
     # TPU additions -----------------------------------------------------
     max_march_steps: int = 1024         # candidate steps per ray during marching
@@ -108,10 +113,11 @@ class SceneConfig:
 
         The floor keeps warmup legal: with a fully dense grid every candidate
         is valid, so demand = n_rays * max_march_steps must be able to sit at
-        ~the budget.
+        ~the budget. Rounding the floor DOWN (not up) to the 64-multiple
+        keeps warmup demand <= budget, so warmup steps never sit in routine
+        last-ray truncation (they'd be loss-masked, starving those rays).
         """
-        lo = max(self.sample_budget // self.max_march_steps, 64)
-        lo = -(-lo // 64) * 64
+        lo = max((self.sample_budget // self.max_march_steps) // 64 * 64, 64)
         hi = self.sample_budget // 16  # cap: >=16 expected samples/ray
         out = [lo]
         while True:

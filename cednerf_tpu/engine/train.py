@@ -177,6 +177,10 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 # truncated rays' full demand
                 "n_valid": n_valid_full,
                 "max_depth": jnp.max(out.depth),
+                # fraction of rays fully rendered (no budget/cap truncation);
+                # a drift below ~0.99 at steady state means demand estimation
+                # is systematically biasing training against late-batch rays
+                "complete_frac": jnp.mean(complete),
             }
             return loss, aux
 
@@ -189,6 +193,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             "n_samples": aux["n_samples"].astype(jnp.float32),
             "n_valid": aux["n_valid"].astype(jnp.float32),
             "max_depth": aux["max_depth"],
+            "complete_frac": aux["complete_frac"],
         }
         return TrainState(params=params, opt_state=opt_state, occ=state.occ), metrics
 
@@ -437,6 +442,7 @@ class Trainer:
             "n_valid": mean_valid,
             "num_rays": n_rays,
             "steps": self.steps_per_call,
+            "complete_frac": float(jnp.mean(metrics["complete_frac"])),
         }
 
     def resume(self, path: str) -> int:

@@ -103,6 +103,7 @@ class HashGridEncoder(nn.Module):
                 max_res=self.spec.max_res,
                 log2_hashmap_size=self.spec.log2_hashmap_size,
                 time_keyframes=self.spec.time_keyframes,
+                grad_accum_dtype=self.spec.grad_accum_dtype,
             )
             params = {
                 name: self.param(
@@ -203,6 +204,7 @@ class DNGPRadianceField(nn.Module):
     # keyframes), or "triplane" (factored planes, reference swap option)
     time_keyframes: int = 4  # only for grid_type == "hash4d"
     encoder_impl: str = "brick"  # hot-path layout: "brick" (TPU-first) or "gather"
+    grad_accum_dtype: str = "float32"  # encoder table-grad accumulator
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -213,6 +215,7 @@ class DNGPRadianceField(nn.Module):
             max_res=self.dst_resolution,
             log2_hashmap_size=self.log2_hashmap_size,
             time_keyframes=self.time_keyframes if self.grid_type == "hash4d" else 0,
+            grad_accum_dtype=self.grad_accum_dtype,
         )
 
     @property

@@ -77,6 +77,11 @@ class BrickGridSpec:
     log2_hashmap_size: int = 19
     time_keyframes: int = 0
     max_table_rows: int = 16384
+    # table-gradient scatter accumulator dtype: "bfloat16" keeps the [N, 64F]
+    # update rows in bf16 end-to-end (no convert copies, half the scatter
+    # read traffic; the reference's tcnn accumulates hash grads in fp16 too,
+    # hash_encoder_half.py); "float32" is exact (used by grad-parity tests)
+    grad_accum_dtype: str = "float32"
 
     @property
     def log_b(self) -> float:
@@ -327,7 +332,8 @@ def _lane_axis_weights_2d(axis: int, intra_a, frac_a, dtype, n_features: int,
 def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                        n_feat: int, dtype_name: str,
                        table_dtype_name: str = "float32",
-                       dx_impl: str = "hybrid"):
+                       dx_impl: str = "hybrid",
+                       accum_dtype_name: str = "float32"):
     """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
 
     The autodiff backward through the trilinear-weight outer product
@@ -392,8 +398,8 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         expand = jnp.asarray(_expand_np, cdtype)
         gout = jnp.dot(g.astype(cdtype), expand)           # [N, W]
         upd = (wx * wy * wz) * gout
-        d_table = jnp.zeros((n_rows, W), jnp.float32).at[rows].add(
-            upd.astype(jnp.float32))
+        adt = jnp.dtype(accum_dtype_name)
+        d_table = jnp.zeros((n_rows, W), adt).at[rows].add(upd.astype(adt))
         h = feats * gout
 
         def lane_dot(a_, b_, c_):
@@ -415,8 +421,8 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         w, dw = _axis_factors(intra, frac, cdtype)
         gout = jnp.tile(g.astype(cdtype), (1, CORNERS_PER_BRICK))  # [N, 64F]
         upd = _w_lanes(w, F) * gout
-        d_table = jnp.zeros((n_rows, W), jnp.float32).at[rows].add(
-            upd.astype(jnp.float32))
+        adt = jnp.dtype(accum_dtype_name)
+        d_table = jnp.zeros((n_rows, W), adt).at[rows].add(upd.astype(adt))
         # Position gradient in fused lane form: d_frac_a = sum over row lanes
         # of (feats * gout) * (dW/dfrac_a lanes), where the derivative-weight
         # lanes substitute dw for w on axis a. Each axis is one [N, 64F]
@@ -542,7 +548,8 @@ def _axis_lane_weights(axis: int, intra_a, frac_a, dtype, n_features: int):
 @functools.lru_cache(maxsize=None)
 def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
                        n_feat: int, dtype_name: str,
-                       table_dtype_name: str = "float32"):
+                       table_dtype_name: str = "float32",
+                       accum_dtype_name: str = "float32"):
     """Analytic custom-VJP fused encode: (flat_table [R,64F], x) -> [N, L*F].
 
     Single gather / single scatter-add for all levels; all interpolation
@@ -600,8 +607,8 @@ def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
         gout = jnp.dot(g.astype(cdtype).reshape(n * L, F),
                        expand).reshape(n, L, W)
         upd = lanes * gout
-        d_table = jnp.zeros((total_rows, W), jnp.float32).at[rows].add(
-            upd.astype(jnp.float32))
+        adt = jnp.dtype(accum_dtype_name)
+        d_table = jnp.zeros((total_rows, W), adt).at[rows].add(upd.astype(adt))
         h = feats * gout                                   # [N,L,W]
 
         def lane_dot(a_, b_, c_):
@@ -643,14 +650,16 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
         tuple(bool(lay["hashed"]) for lay in layouts),
         tuple(lay["rows"] for lay in layouts),
         tuple(offsets), off, spec.n_features,
-        jnp.dtype(compute_dtype).name, flat.dtype.name)
+        jnp.dtype(compute_dtype).name, flat.dtype.name,
+        spec.grad_accum_dtype)
     return enc(flat, x)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                           n_feat: int, keyframes: int, dtype_name: str,
-                          table_dtype_name: str = "float32"):
+                          table_dtype_name: str = "float32",
+                          accum_dtype_name: str = "float32"):
     """Analytic custom-VJP 4D level encode: (flat [rows*K, 64F], x, t) -> [N, F].
 
     Keyframe-lerped brick rows (lerp(table[row,k], table[row,k+1], t_frac)
@@ -721,10 +730,11 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
         gout = jnp.dot(g.astype(cdtype), expand)        # [N, W]
         upd = w_row * gout
         tfc = t_frac[:, None]
+        adt = jnp.dtype(accum_dtype_name)
         d_flat = (
-            jnp.zeros((n_rows * K, W), jnp.float32)
-            .at[rows * K + idx_lo].add(upd.astype(jnp.float32) * (1.0 - tfc))
-            .at[rows * K + idx_lo + 1].add(upd.astype(jnp.float32) * tfc)
+            jnp.zeros((n_rows * K, W), adt)
+            .at[rows * K + idx_lo].add((upd * (1.0 - tfc)).astype(adt))
+            .at[rows * K + idx_lo + 1].add((upd * tfc).astype(adt))
         )
         feats = lo * (1.0 - tfc.astype(cdtype)) + hi * tfc.astype(cdtype)
         h = feats * gout
@@ -783,7 +793,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 enc = _make_level_encode(
                     float(scale), lay["n_bricks_axis"], lay["hashed"],
                     lay["rows"], f, jnp.dtype(compute_dtype).name,
-                    table.dtype.name, dx_impl)
+                    table.dtype.name, dx_impl, spec.grad_accum_dtype)
                 outs.append(enc(table, x))
             else:
                 rows, w = _level_rows_and_weights(
@@ -816,7 +826,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             enc = _make_level_encode_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],
                 lay["rows"], f, k, jnp.dtype(compute_dtype).name,
-                flat.dtype.name)
+                flat.dtype.name, spec.grad_accum_dtype)
             outs.append(enc(flat, x, t))
             continue
         rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,

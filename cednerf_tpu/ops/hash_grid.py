@@ -66,6 +66,8 @@ class HashGridSpec:
     max_res: int = 4096
     log2_hashmap_size: int = 19
     time_keyframes: int = 0
+    # brick-impl table-gradient accumulator dtype (see BrickGridSpec)
+    grad_accum_dtype: str = "float32"
 
     @property
     def log_b(self) -> float:

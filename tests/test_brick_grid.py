@@ -169,6 +169,32 @@ def test_custom_vjp_matches_autodiff():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_bf16_grad_accum_close_to_f32():
+    """grad_accum_dtype='bfloat16' table grads track the f32 accumulation
+    within bf16 rounding (the training default; engine/config.py)."""
+    import dataclasses as dc
+
+    spec32 = small_spec(n_levels=3, base_res=4, max_res=32,
+                        log2_hashmap_size=8)
+    spec16 = dc.replace(spec32, grad_accum_dtype="bfloat16")
+    params = spec32.init_params(jax.random.PRNGKey(9))
+    x = jax.random.uniform(jax.random.PRNGKey(10), (256, 3),
+                           minval=0.05, maxval=0.95)
+    g_out = jax.random.normal(jax.random.PRNGKey(11), (256, spec32.output_dim))
+
+    def loss(p, sp):
+        out = brick_encode(x, p, sp, compute_dtype=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) * g_out)
+
+    g32 = jax.grad(loss)(params, spec32)
+    g16 = jax.grad(loss)(params, spec16)
+    for k in g32:
+        a, b = np.asarray(g32[k], np.float32), np.asarray(g16[k], np.float32)
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a - b).max() / scale < 0.05, k
+        assert g16[k].dtype == g32[k].dtype  # params grad dtype unchanged
+
+
 def test_variant_impls_match_default():
     """The lane-compare ('cmp') backward variant and the fused-all-levels
     encoder must match the default per-level outer-product path: identical

@@ -88,6 +88,9 @@ def test_training_reduces_loss():
     # occupancy grid learned something but isn't fully on
     frac = float(jnp.mean(trainer.state.occ.binaries.astype(jnp.float32)))
     assert 0.0 < frac < 0.9
+    # steady state renders (nearly) every ray completely: budget overflow
+    # truncation must be the exception, not the norm (VERDICT r1 weak #5)
+    assert m["complete_frac"] >= 0.99, m["complete_frac"]
 
 
 def test_eval_render_after_training():

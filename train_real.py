@@ -52,6 +52,11 @@ def main():
                         help="DyNeRF: switch ISG->IST importance sampling at "
                              "this step (reference dnerf_3d_video_IS.py:308 "
                              "switch_to_ist; 0 = never)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of 64 steady-state "
+                             "steps into this directory (inspect with "
+                             "tools/profile_trace.py's aggregator or "
+                             "TensorBoard)")
     parser.add_argument("--mark_invisible", action="store_true",
                         help="mark occupancy cells outside all train frustums "
                              "invisible (always on for DyNeRF --gui runs, "
@@ -142,6 +147,12 @@ def main():
         hooks = []
         if args.isg2ist_step and hasattr(train_dataset, "switch_to_ist"):
             hooks.append((args.isg2ist_step, train_dataset.switch_to_ist))
+        if args.profile_dir:
+            # trace a steady-state window (past warmup + bucket settling)
+            t0 = cfg.occ_warmup_steps + 512
+            hooks.append(
+                (t0, lambda: jax.profiler.start_trace(args.profile_dir)))
+            hooks.append((t0 + 64, jax.profiler.stop_trace))
 
         if args.resume:
             print(f"resumed at step {trainer.resume(args.model_path)}")
