@@ -263,6 +263,106 @@ class BallCloudScene(BallScene):
         return data, sample
 
 
+class TexturedCloudScene(BallCloudScene):
+    """Adversarial encoder-gate scene: many spheres with high-frequency
+    surface texture (VERDICT r1 item 3).
+
+    Surface color is modulated by a per-ball 3D sinusoid of the HIT POINT
+    at spatial frequencies 30-120 rad/unit — features of ~0.05-0.2 units
+    that only the finest hash levels (res >= ~500) can represent. The
+    aggregate sphere surface occupies ~4M+ fine-level cells, far above the
+    2^20 corner slots of a capped table, so fine levels run deep into hash
+    collisions — the regime where the brick layout's brick-granularity
+    hashing (ops/brick_grid.py docstring) could diverge from the
+    reference's per-corner hashing (hash_encoder_half.py:66-103). The
+    ball/cloud gates cannot reach this regime.
+    """
+
+    def __init__(self, n_cams: int = 8, wh: int = 128, n_times: int = 8,
+                 n_balls: int = 64, seed: int = 0):
+        super().__init__(n_cams=n_cams, wh=wh, n_times=n_times,
+                         n_balls=n_balls, seed=seed)
+        rng = np.random.default_rng(seed + 7)
+        self.radii = rng.uniform(0.08, 0.22, (n_balls,)).astype(np.float32)
+        self.tex_freq = rng.uniform(30.0, 120.0, (n_balls,)).astype(np.float32)
+        self.tex_phase = rng.uniform(0, 2 * np.pi, (n_balls, 3)).astype(np.float32)
+
+    def _texture(self, xp, k):
+        """Modulation in [0.1, 1.0] from the 3D sinusoid of hit point xp."""
+        f = self.tex_freq[k][:, None]
+        ph = self.tex_phase[k]
+        s = np.sin(xp * f + ph)
+        return (0.55 + 0.45 * s[:, 0] * s[:, 1] * s[:, 2])[:, None]
+
+    def _render_gt(self, origins, viewdirs, t):
+        c = self._centers(t)
+        oc = origins[:, None, :] - c[None]
+        b = np.sum(oc * viewdirs[:, None, :], axis=-1)
+        disc = b ** 2 - (np.sum(oc * oc, -1) - self.radii[None] ** 2)
+        tt = -b - np.sqrt(np.maximum(disc, 0))
+        hit = (disc > 0) & (tt > 0)
+        tt = np.where(hit, tt, np.inf)
+        k = np.argmin(tt, axis=-1)
+        t_hit = tt[np.arange(len(k)), k]
+        any_hit = np.isfinite(t_hit)
+        xp = origins + viewdirs * np.where(any_hit, t_hit, 0.0)[:, None]
+        col = self.colors[k] * self._texture(xp, k)
+        return np.where(any_hit[:, None], col, BG).astype(np.float32)
+
+    def device_sampler(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cednerf_tpu.engine.sampling import pinhole_rays_device
+
+        data = {
+            "c2ws": jnp.asarray(self.c2ws),
+            "K": jnp.asarray(self.K),
+            "times": jnp.asarray(self.times),
+            "centers0": jnp.asarray(self.centers0),
+            "vels": jnp.asarray(self.vels),
+            "radii": jnp.asarray(self.radii),
+            "colors": jnp.asarray(self.colors),
+            "tex_freq": jnp.asarray(self.tex_freq),
+            "tex_phase": jnp.asarray(self.tex_phase),
+        }
+        wh = self.wh
+        bg = jnp.asarray(BG)
+
+        def sample(d, key, n_rays: int, i=None):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
+            ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
+            x = jax.random.randint(k3, (n_rays,), 0, wh).astype(jnp.float32)
+            y = jax.random.randint(k4, (n_rays,), 0, wh).astype(jnp.float32)
+            origins, viewdirs = pinhole_rays_device(x, y, d["K"],
+                                                    d["c2ws"][cam], True)
+            t = d["times"][ti]
+            c = d["centers0"][None] + d["vels"][None] * (t[:, None, None] - 0.5)
+            oc = origins[:, None, :] - c
+            b = jnp.sum(oc * viewdirs[:, None, :], axis=-1)
+            disc = b ** 2 - (jnp.sum(oc * oc, -1) - d["radii"][None] ** 2)
+            tt = -b - jnp.sqrt(jnp.maximum(disc, 0))
+            hit = (disc > 0) & (tt > 0)
+            tt = jnp.where(hit, tt, jnp.inf)
+            k = jnp.argmin(tt, axis=-1)
+            t_hit = jnp.take_along_axis(tt, k[:, None], 1)[:, 0]
+            any_hit = jnp.isfinite(t_hit)
+            xp = origins + viewdirs * jnp.where(any_hit, t_hit, 0.0)[:, None]
+            s = jnp.sin(xp * d["tex_freq"][k][:, None] + d["tex_phase"][k])
+            tex = (0.55 + 0.45 * s[:, 0] * s[:, 1] * s[:, 2])[:, None]
+            pixels = jnp.where(any_hit[:, None], d["colors"][k] * tex, bg)
+            return {
+                "origins": origins,
+                "viewdirs": viewdirs,
+                "pixels": pixels,
+                "timestamps": t.reshape(-1, 1),
+                "color_bkgd": bg,
+            }
+
+        return data, sample
+
+
 class ProceduralLoader:
     """Dataset-free loader with the train_real.py dataset protocol.
 

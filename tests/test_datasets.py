@@ -295,3 +295,29 @@ def test_procedural_loader_protocol():
         assert ds.timestamps_pool.shape[1] == 1
         data, fn = ds.device_sampler()
         assert callable(fn)
+
+
+def test_textured_cloud_scene_device_matches_host():
+    """TexturedCloudScene device sampler GT == host GT (texture math parity)."""
+    import jax
+
+    from synthetic_scene import TexturedCloudScene
+
+    scene = TexturedCloudScene(n_cams=4, wh=32, n_times=4, n_balls=16)
+    data, sample = scene.device_sampler()
+    batch = jax.jit(sample, static_argnums=2)(data, jax.random.PRNGKey(5), 256)
+    # pixels were computed per-ray at each ray's own time; recompute per time.
+    # f32 ray-sphere + sin(120*x) math differs slightly between backends
+    # (and tangent hits can flip), so assert bulk agreement, not exactness.
+    t = np.asarray(batch["timestamps"]).reshape(-1)
+    got = np.asarray(batch["pixels"])
+    agree = 0
+    for tv in np.unique(t):
+        m = t == tv
+        want = scene._render_gt(np.asarray(batch["origins"])[m],
+                                np.asarray(batch["viewdirs"])[m], float(tv))
+        agree += int((np.abs(got[m] - want).max(axis=-1) < 0.02).sum())
+    assert agree >= 0.95 * len(t), (agree, len(t))
+    # texture actually varies across the surface (not a flat-color scene)
+    hits = got[np.any(np.abs(got - got[-1]) > 1e-6, axis=-1)]
+    assert len(np.unique(np.round(hits, 3), axis=0)) > 8

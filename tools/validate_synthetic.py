@@ -28,9 +28,17 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--levels", type=int, default=16)
     ap.add_argument("--features", type=int, default=2)
-    ap.add_argument("--scene", choices=("ball", "cloud"), default="ball")
+    ap.add_argument("--scene", choices=("ball", "cloud", "texture"),
+                    default="ball")
     ap.add_argument("--grid_type", choices=("hash3d", "hash4d", "triplane"),
                     default="hash3d")
+    ap.add_argument("--impl", choices=("brick", "gather"), default="brick",
+                    help="'gather' = reference-exact per-corner NGP hashing "
+                         "(ops/hash_grid.py) for encoder-divergence A/Bs")
+    ap.add_argument("--log2", type=int, default=0,
+                    help="override log2_hashmap_size (e.g. 21 = reference)")
+    ap.add_argument("--grad_accum", choices=("bfloat16", "float32"),
+                    default=None, help="override encoder grad accumulator")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -52,10 +60,20 @@ def main():
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
         grid_type=args.grid_type,
     )
+    import dataclasses
+
     cfg = dnerf_config(max_steps=args.steps)
+    if args.log2:
+        cfg = dataclasses.replace(cfg, log2_hashmap_size=args.log2)
+    if args.grad_accum:
+        cfg = dataclasses.replace(cfg, grad_accum_dtype=args.grad_accum)
     field = build_field(cfg, flags).clone(
-        n_levels=args.levels, n_features_per_level=args.features)
-    scene_cls = BallCloudScene if args.scene == "cloud" else BallScene
+        n_levels=args.levels, n_features_per_level=args.features,
+        encoder_impl=args.impl)
+    from synthetic_scene import TexturedCloudScene
+
+    scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
+                 "texture": TexturedCloudScene}[args.scene]
     scene = scene_cls(n_cams=8, wh=128, n_times=8)
     trainer = Trainer(field, cfg, flags, scene, seed=0,
                       device_sampler=scene.device_sampler(), steps_per_call=16)
@@ -94,6 +112,10 @@ def main():
         "steps": args.steps,
         "levels": args.levels,
         "features": args.features,
+        "scene": args.scene,
+        "impl": args.impl,
+        "log2": args.log2 or cfg.log2_hashmap_size,
+        "grad_accum": cfg.grad_accum_dtype,
         "train_seconds": round(train_s, 1),
         "final_train_psnr": round(history[-1][1], 2) if history else None,
         "train_view_psnr": round(train_view_psnr, 2),
