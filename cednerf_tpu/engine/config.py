@@ -62,6 +62,10 @@ class SceneConfig:
     # (the reference's tcnn accumulates hash grads in fp16); PSNR-gated on
     # the synthetic scene (tools/validate_synthetic.py)
     grad_accum_dtype: str = "bfloat16"
+    # packed compositing (renderer.render_rays_budget_packed): transmittance
+    # + accumulation run on the [budget] buffer via segment cumsums - no
+    # [R*M, C] scatter-back or [R, M] composite arrays in the train program
+    packed_render: bool = True
     init_batch_size: int = 1024
     # TPU additions -----------------------------------------------------
     max_march_steps: int = 1024         # candidate steps per ray during marching

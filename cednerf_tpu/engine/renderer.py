@@ -248,6 +248,159 @@ def render_rays_budget(
                         n_samples=n_samples, extras=extras)
 
 
+def render_rays_budget_packed(
+    field,
+    params,
+    origins,
+    viewdirs,
+    cand: RayCandidates,
+    timestamps,
+    render_bkgd,
+    occ_mean: Optional[jnp.ndarray] = None,
+    *,
+    budget: int,
+    alpha_thre: float = 0.0,
+    train: bool = True,
+    n_blocks: int = 1,
+    ray_complete: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    """Budgeted rendering with PACKED compositing: the transmittance scan and
+    all per-ray accumulations run directly on the [budget] compacted buffer,
+    so the [R*M, C] dense scatter-back of render_rays_budget (and every
+    [R, M]-lattice composite array) disappears from the program.
+
+    Mechanics (the nerfacc packed-rays design, rebuilt with XLA scans):
+      * compacted slots are ray-major (compact_select's sel is ascending per
+        block), so a ray's samples form one contiguous segment;
+      * per-ray exclusive prefixes = global exclusive cumsum minus the
+        ray-base prefix (one [R]-gather at segment starts) — block padding
+        carries zeros, so cumsums pass through it unchanged;
+      * per-ray sums = boundary differences of one [budget+1, C] exclusive
+        cumsum (C = 5: w*rgb, w, w*t_mid);
+      * f32 global cumsums: the running total reaches ~1e4, so boundary
+        differences keep ~1e-3 absolute accuracy — comparable to the bf16
+        compute noise of the field itself (gated by the dense-vs-packed
+        equality test).
+
+    extras carries packed per-slot fields (suffix `_p`) plus ray/starts/
+    counts for the packed loss forms in ops/losses.py.
+    """
+    from ..utils.math import exclusive_cumsum
+
+    r, m = cand.valid.shape
+    n = r * m
+    sel, kept, rank = compact_select(cand.valid, budget, n_blocks=n_blocks)
+    sel_valid = sel < n
+    sel_c = jnp.minimum(sel, n - 1)
+    srt = n_blocks == 1
+    ray = sel_c // m
+
+    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
+    ray_info = jnp.concatenate(
+        [origins, viewdirs, ts_full[:, None]], axis=-1)  # [R, 7]
+    ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=srt)
+    o, d, ts = ri[:, 0:3], ri[:, 3:6], ri[:, 6]
+    tpack = jnp.stack(
+        [cand.t_starts.reshape(-1), cand.dts.reshape(-1)], axis=-1)
+    tv = jnp.take(tpack, sel_c, axis=0, indices_are_sorted=srt)
+    t0s_p, dts_p = tv[:, 0], tv[:, 1]
+    pos = o + d * (t0s_p + 0.5 * dts_p)[:, None]
+
+    rgb_c, res_c = field.apply(params, pos, ts[:, None], d,
+                               return_internal=train)
+
+    sigmas_p = res_c["density"].astype(jnp.float32).reshape(-1)
+    rgbs_p = rgb_c.astype(jnp.float32)
+
+    valid_p = sel_valid
+    if alpha_thre > 0:
+        thre = alpha_thre if occ_mean is None else jnp.minimum(alpha_thre,
+                                                               occ_mean)
+        alpha_raw = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas_p) * dts_p)
+        valid_p = valid_p & (alpha_raw > thre)
+    vf = valid_p.astype(jnp.float32)
+
+    # ray segment geometry: starts/counts in the packed buffer. kept counts
+    # (not valid_p) define the layout; alpha-masked slots stay in place with
+    # sdelta 0, exactly like the dense path's mask.
+    counts = jnp.sum(kept, axis=-1).astype(jnp.int32)            # [R]
+    rb = r // n_blocks
+    bb = budget // n_blocks
+    cb = counts.reshape(n_blocks, rb)
+    starts = (jnp.cumsum(cb, axis=-1) - cb
+              + (jnp.arange(n_blocks, dtype=jnp.int32) * bb)[:, None]
+              ).reshape(-1)                                       # [R]
+    # block overflow can leave starts past the block's slots; clamp so the
+    # boundary gathers stay in range (those rays are complete=0 anyway)
+    starts = jnp.minimum(starts, budget)
+
+    sdelta_p = sigmas_p * dts_p * vf
+    excl_sd = exclusive_cumsum(sdelta_p, axis=0)                  # [B]
+    w_pre = None  # filled by packed losses on demand
+
+    # per-slot ray-base prefixes via one [R, 1] base gather
+    base_sd = jnp.take(
+        jnp.concatenate([excl_sd, jnp.sum(sdelta_p)[None]]), starts)
+    trans_p = jnp.exp(-(excl_sd - jnp.take(base_sd, ray)))
+    alphas_p = 1.0 - jnp.exp(-sdelta_p)
+    weights_p = trans_p * alphas_p * vf
+
+    # per-ray outputs: one C=5 exclusive cumsum + two boundary gathers
+    t_mid_p = t0s_p + 0.5 * dts_p
+    chans = jnp.concatenate(
+        [weights_p[:, None] * rgbs_p,
+         weights_p[:, None],
+         (weights_p * t_mid_p)[:, None]], axis=-1)                # [B, 5]
+    zx = jnp.cumsum(chans, axis=0)
+    zx = jnp.concatenate([jnp.zeros((1, 5), jnp.float32), zx], axis=0)
+    lo = jnp.take(zx, starts, axis=0)
+    hi = jnp.take(zx, jnp.minimum(starts + counts, budget), axis=0)
+    sums = hi - lo                                                # [R, 5]
+    rgb = sums[:, 0:3]
+    opacity = sums[:, 3:4]
+    depth = sums[:, 4:5] / jnp.maximum(opacity, 1.1920929e-07)
+    if render_bkgd is not None:
+        rgb = rgb + render_bkgd * (1.0 - opacity)
+
+    extras = {
+        "packed": True,
+        "weights_p": weights_p,
+        "trans_p": trans_p,
+        "sigmas_p": sigmas_p,
+        "rgbs_p": rgbs_p,
+        "t_starts_p": t0s_p,
+        "dts_p": dts_p,
+        "valid_p": vf,
+        "ray": ray,
+        "starts": starts,
+        "counts": counts,
+        "complete": (
+            jnp.logical_not(
+                jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
+            & (True if ray_complete is None else ray_complete)
+        ).astype(jnp.float32),
+        "n_valid": jnp.sum(cand.valid),
+    }
+    internal_c = res_c.get("internal") if train else None
+    if internal_c is not None:
+        if "latent_losses" in internal_c:
+            # per-slot channel-mean huber; the packed loss form takes the
+            # global complete-masked sum (== ray_mean of per-ray sums)
+            extras["latent_p"] = jnp.mean(
+                internal_c["latent_losses"], axis=-1).astype(jnp.float32)
+        if "weight_losses" in internal_c:
+            from ..models.field import huber
+
+            wl = huber(internal_c["weight_losses"].astype(jnp.float32)[:, 0],
+                       trans_p)
+            extras["weight_loss_p"] = (
+                wl * internal_c["selector"].astype(jnp.float32))
+
+    n_samples = jnp.sum(vf)
+    return RenderResult(rgb=rgb, opacity=opacity, depth=depth,
+                        n_samples=n_samples, extras=extras)
+
+
 def render_rays(
     field,
     params,

@@ -31,7 +31,8 @@ from ..ops import losses as L
 from ..ops.occupancy import (OccGridState, create_occ_grid, march_candidates,
                              update_occ_grid)
 from .config import ModelFlags, SceneConfig
-from .renderer import pack_candidates, render_rays_budget
+from .renderer import (pack_candidates, render_rays_budget,
+                       render_rays_budget_packed)
 
 
 class TrainState(NamedTuple):
@@ -133,7 +134,9 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             fits = None
 
         def loss_fn(params):
-            out = render_rays_budget(
+            render = (render_rays_budget_packed if cfg.packed_render
+                      else render_rays_budget)
+            out = render(
                 field, params,
                 batch["origins"], batch["viewdirs"], cand,
                 batch["timestamps"], batch["color_bkgd"], occ_mean,
@@ -151,25 +154,47 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             # partially-rendered weights never bias gradients
             if flags.use_opacity_loss:
                 loss += L.opacity_loss(out.opacity, ray_weights=complete) * 1e-3
-            if flags.distortion_loss:
-                loss += L.distortion_loss(
-                    extras["weights"], extras["t_starts"], extras["t_ends"],
-                    extras["mask"], ray_weights=complete,
-                ) * 1e-3
             if flags.acc_entropy_loss:
                 loss += L.acc_entropy_loss(out.opacity, ray_weights=complete) * 1e-3
-            if flags.weight_rgbper:
-                loss += L.rgbper_loss(
-                    extras["rgbs"], batch["pixels"],
-                    jax.lax.stop_gradient(extras["weights"]), extras["mask"],
-                    ray_weights=complete,
-                ) * 1e-3
-            if flags.use_feat_predict:
-                loss += L.ray_mean(
-                    extras["latent_losses"].reshape(-1), complete)
-            if flags.use_weight_predict:
-                loss += L.ray_mean(
-                    extras["weight_losses"].reshape(-1), complete)
+            if extras.get("packed"):
+                ray, starts = extras["ray"], extras["starts"]
+                if flags.distortion_loss:
+                    loss += L.packed_distortion_loss(
+                        extras["weights_p"], extras["t_starts_p"],
+                        extras["dts_p"], ray, starts, complete) * 1e-3
+                if flags.weight_rgbper:
+                    loss += L.packed_rgbper_loss(
+                        extras["rgbs_p"], batch["pixels"],
+                        jax.lax.stop_gradient(extras["weights_p"]),
+                        ray, complete) * 1e-3
+                if flags.use_feat_predict:
+                    loss += L.packed_ray_sum_mean(
+                        extras["latent_p"]
+                        * jax.lax.stop_gradient(extras["weights_p"]),
+                        ray, complete)
+                if flags.use_weight_predict:
+                    loss += L.packed_per_ray_mean(
+                        extras["weight_loss_p"] * extras["weights_p"],
+                        extras["valid_p"], ray, starts, extras["counts"],
+                        budget, complete)
+            else:
+                if flags.distortion_loss:
+                    loss += L.distortion_loss(
+                        extras["weights"], extras["t_starts"], extras["t_ends"],
+                        extras["mask"], ray_weights=complete,
+                    ) * 1e-3
+                if flags.weight_rgbper:
+                    loss += L.rgbper_loss(
+                        extras["rgbs"], batch["pixels"],
+                        jax.lax.stop_gradient(extras["weights"]), extras["mask"],
+                        ray_weights=complete,
+                    ) * 1e-3
+                if flags.use_feat_predict:
+                    loss += L.ray_mean(
+                        extras["latent_losses"].reshape(-1), complete)
+                if flags.use_weight_predict:
+                    loss += L.ray_mean(
+                        extras["weight_losses"].reshape(-1), complete)
             aux = {
                 "mse": mse,
                 "n_samples": out.n_samples,

@@ -67,3 +67,59 @@ def rgbper_loss(rgbs, pixels, weights, mask, ray_weights=None):
     per = jnp.sum((rgbs - pixels[:, None, :]) ** 2, axis=-1)
     per_ray = jnp.sum(per * weights * mask, axis=-1)
     return ray_mean(per_ray, ray_weights)
+
+
+# ------------------------------------------------------------------- #
+# Packed (compacted-buffer) loss forms for engine/renderer.py
+# render_rays_budget_packed: per-slot arrays [B] with ray ids + segment
+# starts/counts. Per-ray exclusive prefixes = global exclusive cumsum
+# minus the ray-base prefix; ray_mean of per-ray sums needs no
+# segmentation at all (it is one complete-masked global sum).
+# ------------------------------------------------------------------- #
+
+
+def _ray_base(prefix, starts, total):
+    """[R] segment-base values of a [B] exclusive prefix (appends the
+    grand total so starts == B, an overflow-clamped start, stays legal)."""
+    return jnp.take(jnp.concatenate([prefix, total[None]]), starts)
+
+
+def packed_ray_sum_mean(per_slot, ray, ray_weights):
+    """ray_mean of per-ray sums of `per_slot` — as one masked global sum.
+
+    per_slot [B] must already be zero at invalid slots. ray_weights [R]
+    (0/1 complete mask) or None (every ray counts)."""
+    rmask = jnp.take(ray_weights.reshape(-1), ray)
+    return jnp.sum(per_slot * rmask) / jnp.maximum(
+        jnp.sum(ray_weights), 1.0)
+
+
+def packed_distortion_loss(weights_p, t_starts_p, dts_p, ray, starts,
+                           ray_weights):
+    """distortion_loss on the packed buffer (same math, segment prefixes)."""
+    mid = t_starts_p + 0.5 * dts_p
+    w = weights_p
+    wm = w * mid
+    cw = exclusive_cumsum(w, axis=0)
+    cwm = exclusive_cumsum(wm, axis=0)
+    pref_w = cw - jnp.take(_ray_base(cw, starts, jnp.sum(w)), ray)
+    pref_wm = cwm - jnp.take(_ray_base(cwm, starts, jnp.sum(wm)), ray)
+    per_slot = 2.0 * w * (mid * pref_w - pref_wm) + w ** 2 * dts_p / 3.0
+    return packed_ray_sum_mean(per_slot, ray, ray_weights)
+
+
+def packed_rgbper_loss(rgbs_p, pixels, weights_p, ray, ray_weights):
+    """rgbper_loss on the packed buffer (weights detached by the caller)."""
+    per = jnp.sum((rgbs_p - jnp.take(pixels, ray, axis=0)) ** 2, axis=-1)
+    return packed_ray_sum_mean(per * weights_p, ray, ray_weights)
+
+
+def packed_per_ray_mean(per_slot, valid_p, ray, starts, counts, budget,
+                        ray_weights):
+    """ray_mean of per-ray MEANS over valid slots (reduce='mean' parity)."""
+    cv = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                          jnp.cumsum(valid_p)])
+    n_valid = (jnp.take(cv, jnp.minimum(starts + counts, budget))
+               - jnp.take(cv, starts))                      # [R]
+    scale = 1.0 / jnp.maximum(jnp.take(n_valid, ray), 1.0)
+    return packed_ray_sum_mean(per_slot * scale, ray, ray_weights)

@@ -188,3 +188,78 @@ def test_overflow_drops_trailing_and_flags_incomplete():
     np.testing.assert_array_equal(complete, expected)
     assert np.isfinite(np.asarray(out.rgb)).all()
     assert int(out.extras["n_valid"]) == n_valid
+
+
+def test_packed_matches_dense_outputs_and_grads():
+    """render_rays_budget_packed == render_rays_budget: rgb/opacity/depth,
+    complete flags, AND parameter gradients of the full loss assembly
+    (incl. packed distortion/rgbper/latent/weight-predict forms)."""
+    from cednerf_tpu.engine.renderer import render_rays_budget_packed
+    from cednerf_tpu.ops import losses as L
+
+    field, params, o, d, cand, ts, bkgd = _setup(seed=4, r=8, m=16)
+    budget = 96
+    pixels = jnp.asarray(np.random.default_rng(7).random((8, 3)), jnp.float32)
+
+    def total_loss(p, packed, n_blocks=1):
+        render = render_rays_budget_packed if packed else render_rays_budget
+        out = render(field, p, o, d, cand, ts, bkgd, jnp.float32(0.5),
+                     budget=budget, alpha_thre=1e-3, train=True,
+                     n_blocks=n_blocks)
+        e = out.extras
+        complete = e["complete"]
+        loss = jnp.sum((out.rgb - pixels) ** 2)
+        if packed:
+            ray, starts = e["ray"], e["starts"]
+            loss += L.packed_distortion_loss(
+                e["weights_p"], e["t_starts_p"], e["dts_p"], ray, starts,
+                complete)
+            loss += L.packed_rgbper_loss(
+                e["rgbs_p"], pixels, jax.lax.stop_gradient(e["weights_p"]),
+                ray, complete)
+            loss += L.packed_ray_sum_mean(
+                e["latent_p"] * jax.lax.stop_gradient(e["weights_p"]),
+                ray, complete)
+            loss += L.packed_per_ray_mean(
+                e["weight_loss_p"] * e["weights_p"], e["valid_p"], ray,
+                starts, e["counts"], budget, complete)
+        else:
+            loss += L.distortion_loss(e["weights"], e["t_starts"],
+                                      e["t_ends"], e["mask"],
+                                      ray_weights=complete)
+            loss += L.rgbper_loss(e["rgbs"], pixels,
+                                  jax.lax.stop_gradient(e["weights"]),
+                                  e["mask"], ray_weights=complete)
+            loss += L.ray_mean(e["latent_losses"].reshape(-1), complete)
+            loss += L.ray_mean(e["weight_losses"].reshape(-1), complete)
+        return loss, out
+
+    (ld, outd), gd = jax.value_and_grad(
+        lambda p: total_loss(p, False), has_aux=True)(params)
+    (lp, outp), gp = jax.value_and_grad(
+        lambda p: total_loss(p, True), has_aux=True)(params)
+
+    np.testing.assert_allclose(np.asarray(outp.rgb), np.asarray(outd.rgb),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outp.opacity),
+                               np.asarray(outd.opacity), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outp.depth),
+                               np.asarray(outd.depth), rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(outp.extras["complete"]),
+                                  np.asarray(outd.extras["complete"]))
+    assert float(outp.n_samples) == float(outd.n_samples)
+    np.testing.assert_allclose(float(lp), float(ld), rtol=2e-4)
+    flat_d = jax.tree_util.tree_leaves_with_path(gd)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, vd in flat_d:
+        vp = flat_p[path]
+        sc = np.abs(np.asarray(vd, np.float32)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(vp, np.float32) / sc, np.asarray(vd, np.float32) / sc,
+            atol=5e-3, err_msg=str(path))
+
+    # multi-block layout agrees too (block-local cumsums + padding)
+    (lb, outb), _ = jax.value_and_grad(
+        lambda p: total_loss(p, True, n_blocks=2), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(outb.rgb), np.asarray(outd.rgb),
+                               rtol=2e-4, atol=2e-4)
