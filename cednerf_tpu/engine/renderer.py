@@ -338,10 +338,15 @@ def render_rays_budget_packed(
     excl_sd = exclusive_cumsum(sdelta_p, axis=0)                  # [B]
     w_pre = None  # filled by packed losses on demand
 
-    # per-slot ray-base prefixes via one [R, 1] base gather
+    # per-slot ray-base prefixes via one [R, 1] base gather. The exponent is
+    # clamped at 0: a block's invalid tail slots carry ray = last-ray (their
+    # clamped sel points at the lattice end), whose base prefix lies AFTER
+    # them, and exp(+large) would make inf * (vf = 0) = NaN poison the
+    # channel cumsums of every later block. Valid slots always sit at or
+    # after their own ray's start, so the clamp is a no-op for them.
     base_sd = jnp.take(
         jnp.concatenate([excl_sd, jnp.sum(sdelta_p)[None]]), starts)
-    trans_p = jnp.exp(-(excl_sd - jnp.take(base_sd, ray)))
+    trans_p = jnp.exp(-jnp.maximum(excl_sd - jnp.take(base_sd, ray), 0.0))
     alphas_p = 1.0 - jnp.exp(-sdelta_p)
     weights_p = trans_p * alphas_p * vf
 
