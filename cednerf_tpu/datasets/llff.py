@@ -7,7 +7,11 @@ Math parity with the reference's datasets/pose_ulils.py (sic):
     kept because DyNeRF centering uses this one and the spiral path the other);
   * correct_poses_bounds (pose_ulils.py:230-255): "down right back" ->
     "right up back" axis flip, scale by 0.75 * min(bounds), recenter by the
-    inverse average pose.
+    inverse average pose;
+  * se(3) twist log/exp + pose interpolation (pose_ulils.py:269-356) — the
+    reference goes through scipy logm/expm on full 4x4 matrices; here the
+    same twists come from the closed-form SO(3)/SE(3) log/exp (Rodrigues +
+    the V matrix), which is exact for rigid transforms and needs no scipy.
 """
 
 import numpy as np
@@ -53,3 +57,116 @@ def correct_poses_bounds(poses, bounds, flip=True, center=True):
     else:
         ref = poses[0]
     return poses, ref, bounds
+
+
+# ----------------------------------------------------------------------- #
+# se(3) twist helpers + pose interpolation (pose_ulils.py:269-356).
+# Twist layout matches the reference: [wx, wy, wz, vx, vy, vz] with
+# M = [[skew(w), v], [0, 0]] = logm(pose).
+# ----------------------------------------------------------------------- #
+
+
+def _skew(w):
+    """[..., 3] -> [..., 3, 3] cross-product matrices."""
+    o = np.zeros_like(w[..., 0])
+    return np.stack([
+        np.stack([o, -w[..., 2], w[..., 1]], -1),
+        np.stack([w[..., 2], o, -w[..., 0]], -1),
+        np.stack([-w[..., 1], w[..., 0], o], -1),
+    ], -2)
+
+
+def p34_to_44(poses):
+    """[N, 3, 4] -> [N, 4, 4] homogeneous (pose_ulils.py:269-272)."""
+    bottom = np.broadcast_to(
+        np.array([0, 0, 0, 1.0]), (*poses.shape[:-2], 1, 4))
+    return np.concatenate([poses, bottom], axis=-2)
+
+
+def poses_to_twists(poses):
+    """SE(3) log of [N, 4, 4] rigid poses -> [N, 6] twists.
+
+    Closed form (Rodrigues inverse + the V^-1 matrix) instead of the
+    reference's scipy.linalg.logm (pose_ulils.py:274-292); rotations within
+    ~1e-3 of a half-turn fall back to a diagonal-based axis extraction where
+    (R - R^T) degenerates.
+    """
+    poses = np.asarray(poses, np.float64)
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    cos = np.clip((np.trace(R, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos)                                   # [N]
+    sin = np.sin(theta)
+    # vee(R - R^T) = 2 sin(theta) * axis
+    vee = np.stack([R[:, 2, 1] - R[:, 1, 2],
+                    R[:, 0, 2] - R[:, 2, 0],
+                    R[:, 1, 0] - R[:, 0, 1]], -1)
+    small = theta < 1e-6
+    near_pi = theta > np.pi - 1e-3
+    # generic: w = theta / (2 sin theta) * vee; small-angle limit 0.5 * vee
+    scale = np.where(small, 0.5, theta / np.maximum(2.0 * sin, 1e-300))
+    w = scale[:, None] * vee
+    if near_pi.any():
+        # near pi (R - R^T degenerates): axis from the exact identity
+        # (R + R^T)/2 = I + (1 - cos) (aa^T - I)  =>
+        # aa^T = ((R + R^T)/2 - cos I) / (1 - cos)
+        Rp = R[near_pi]
+        th = theta[near_pi]
+        cp = cos[near_pi]
+        A = ((Rp + np.swapaxes(Rp, 1, 2)) / 2.0
+             - cp[:, None, None] * np.eye(3)) / (1.0 - cp)[:, None, None]
+        k = np.argmax(np.diagonal(A, axis1=1, axis2=2), axis=-1)
+        rows = A[np.arange(len(Rp)), :, k]
+        axis = rows / np.linalg.norm(rows, axis=-1, keepdims=True)
+        # sign fixed against vee (vee ~ 2 sin(theta) axis, tiny but signed)
+        flip_sign = np.sum(axis * vee[near_pi], -1) < 0
+        axis[flip_sign] *= -1.0
+        w[near_pi] = th[:, None] * axis
+    W = _skew(w)
+    th2 = np.maximum(theta, 1e-12) ** 2
+    # V^-1 = I - W/2 + (1/theta^2 - (1 + cos)/(2 theta sin)) W^2
+    coef = np.where(
+        small, 1.0 / 12.0,
+        (1.0 / th2) - (1.0 + cos) / np.maximum(2.0 * theta * sin, 1e-300))
+    Vinv = (np.eye(3) - W / 2.0 + coef[:, None, None] * (W @ W))
+    v = np.einsum("nij,nj->ni", Vinv, t)
+    return np.concatenate([w, v], -1)
+
+
+def twists_to_poses(twists):
+    """SE(3) exp of [N, 6] twists -> [N, 4, 4] rigid poses
+    (closed-form counterpart of pose_ulils.py:294-356)."""
+    twists = np.asarray(twists, np.float64)
+    w, v = twists[:, :3], twists[:, 3:]
+    theta = np.linalg.norm(w, axis=-1)
+    small = theta < 1e-6
+    th = np.maximum(theta, 1e-12)
+    W = _skew(w)
+    W2 = W @ W
+    a = np.where(small, 1.0, np.sin(th) / th)                 # sin t / t
+    b = np.where(small, 0.5, (1.0 - np.cos(th)) / th ** 2)    # (1-cos)/t^2
+    c = np.where(small, 1.0 / 6.0, (th - np.sin(th)) / th ** 3)
+    R = np.eye(3) + a[:, None, None] * W + b[:, None, None] * W2
+    V = np.eye(3) + b[:, None, None] * W + c[:, None, None] * W2
+    t = np.einsum("nij,nj->ni", V, v)
+    out = np.broadcast_to(np.eye(4), (len(twists), 4, 4)).copy()
+    out[:, :3, :3] = R
+    out[:, :3, 3] = t
+    return out
+
+
+def interpolate_poses(poses, supersample: int):
+    """Linear twist-space interpolation between consecutive poses.
+
+    poses: [N, 3, 4]; returns [N * supersample, 3, 4] — `supersample` steps
+    between each consecutive pair, last pose repeated (the reference's
+    render-path densifier, pose_ulils.py:337-356).
+    """
+    poses = np.asarray(poses, np.float64)
+    twists = poses_to_twists(p34_to_44(poses))
+    t = np.linspace(0, 1, supersample, endpoint=False).reshape(1, -1, 1)
+    interp = (1 - t) * twists[:-1, None] + t * twists[1:, None]
+    interp = interp.reshape(-1, 6)
+    interp = np.concatenate(
+        [interp, np.tile(twists[-1:], (supersample, 1))], 0)
+    return twists_to_poses(interp)[:, :3, :4].astype(np.float32)

@@ -30,17 +30,32 @@ def _ckpt_tree(state, step: int, key=None, bucket: int = 0):
     }
 
 
+def _shape_meta(params) -> dict:
+    """Stable {path: shape} map of the param tree (for mismatch diagnosis)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {jax.tree_util.keystr(p): list(np.shape(l)) for p, l in flat}
+
+
 def save_checkpoint(path: str, state, step: int, key=None, bucket: int = 0):
     """Write {params, opt_state, occ, step, key, bucket} to `path` (a dir).
 
     `key`/`bucket` are the Trainer's RNG key and current ray bucket; saving
-    them makes a mid-run resume bit-exact with the uninterrupted run."""
+    them makes a mid-run resume bit-exact with the uninterrupted run.
+
+    A side-car `param_shapes.json` records every parameter's shape so a load
+    under a different encoder config (e.g. --hash_levels/--hash_features
+    changing the table split, ADVICE r1 #5) fails with a message naming the
+    mismatched tensors instead of an orbax structure error."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _ckpt_tree(state, step, key, bucket), force=True)
     ckptr.wait_until_finished()
+    with open(os.path.join(path, "param_shapes.json"), "w") as f:
+        json.dump(_shape_meta(state.params), f)
 
 
 def load_checkpoint(path: str, state) -> tuple:
@@ -52,12 +67,34 @@ def load_checkpoint(path: str, state) -> tuple:
 
 
 def load_checkpoint_full(path: str, state) -> tuple:
-    """Returns (state, step, key [2] uint32, bucket int)."""
+    """Returns (state, step, key [2] uint32, bucket int).
+
+    Raises ValueError naming the mismatched parameter shapes when the
+    checkpoint was written under a different model config (the usual cause:
+    a different --hash_levels/--hash_features encoder split)."""
+    import json
+
     import orbax.checkpoint as ocp
 
     from ..ops.occupancy import OccGridState
 
     path = os.path.abspath(path)
+    meta_path = os.path.join(path, "param_shapes.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            saved = json.load(f)
+        here = _shape_meta(state.params)
+        bad = sorted(
+            f"{k}: checkpoint {saved.get(k)} vs model {here.get(k)}"
+            for k in set(saved) | set(here)
+            if saved.get(k) != here.get(k)
+        )
+        if bad:
+            raise ValueError(
+                "checkpoint/model parameter shapes differ (was it trained "
+                "with different --hash_levels/--hash_features or grid "
+                "flags?):\n  " + "\n  ".join(bad)
+            )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, _ckpt_tree(state, 0))
     occ = OccGridState(

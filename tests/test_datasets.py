@@ -321,3 +321,51 @@ def test_textured_cloud_scene_device_matches_host():
     # texture actually varies across the surface (not a flat-color scene)
     hits = got[np.any(np.abs(got - got[-1]) > 1e-6, axis=-1)]
     assert len(np.unique(np.round(hits, 3), axis=0)) > 8
+
+
+def test_se3_twist_roundtrip_matches_scipy():
+    """poses_to_twists/twists_to_poses == scipy logm/expm (the reference's
+    implementation, pose_ulils.py:274-356), incl. near-pi rotations."""
+    import scipy.linalg
+
+    from cednerf_tpu.datasets.llff import (interpolate_poses, p34_to_44,
+                                           poses_to_twists, twists_to_poses)
+
+    rng = np.random.default_rng(3)
+    # random rigid poses at assorted rotation magnitudes incl. ~pi
+    poses = []
+    for ang in (0.0, 1e-7, 0.3, 1.5, 2.9, np.pi - 1e-4):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+        P = np.eye(4)
+        P[:3, :3] = R
+        P[:3, 3] = rng.normal(size=3)
+        poses.append(P)
+    poses = np.stack(poses)
+
+    twists = poses_to_twists(poses)
+    for P, tw in zip(poses, twists):
+        M = np.real(scipy.linalg.logm(P))
+        want = np.array([M[2, 1], M[0, 2], M[1, 0],
+                         M[0, 3], M[1, 3], M[2, 3]])
+        # logm's branch at theta ~ pi can pick the opposite axis; both
+        # exponentiate to the same pose, so compare through expm instead
+        # when the twists disagree.
+        if not np.allclose(tw, want, atol=1e-6):
+            np.testing.assert_allclose(
+                twists_to_poses(tw[None])[0], P, atol=1e-8)
+        np.testing.assert_allclose(twists_to_poses(tw[None])[0], P, atol=1e-8)
+
+    # round-trip through the 3x4 path + interpolation endpoints
+    p34 = poses[:, :3, :4]
+    dense = interpolate_poses(p34, 4)
+    assert dense.shape == (len(p34) * 4, 3, 4)
+    np.testing.assert_allclose(dense[::4], p34, atol=1e-5)
+    # interpolated poses stay rigid (orthonormal rotations)
+    for P in dense:
+        np.testing.assert_allclose(P[:3, :3] @ P[:3, :3].T, np.eye(3),
+                                   atol=1e-5)

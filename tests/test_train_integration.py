@@ -155,3 +155,23 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(restored.occ.binaries),
                                   np.asarray(trainer.state.occ.binaries))
+
+
+def test_checkpoint_shape_mismatch_clear_error(tmp_path):
+    """Loading under a different encoder split fails with a message naming
+    the mismatched tensors (ADVICE r1 #5), not an orbax structure error."""
+    import pytest
+
+    from cednerf_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+    from cednerf_tpu.engine.train import create_train_state
+
+    cfg = tiny_config()
+    field = tiny_field(cfg)
+    state = create_train_state(field, cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, 1)
+
+    other_field = dataclasses.replace(field, n_levels=field.n_levels + 1)
+    other = create_train_state(other_field, cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="hash_levels"):
+        load_checkpoint(path, other)
