@@ -85,6 +85,16 @@ class SceneConfig:
     # ray blocks compacted independently (engine/renderer.py compact_select);
     # set to the device count so the compaction stays shard-local on a mesh
     compact_blocks: int = 1
+    # two-stage segment marching (renderer.march_segments): test occupancy
+    # per march_seg-step segment against a pooled coarse grid, compact
+    # segments, then fine-test only inside selected segments — fine-lattice
+    # work shrinks from R*max_march_steps to ~budget*seg_overcommit.
+    # 0 = off (dense lattice path). Applies to the steady-state scanned loop
+    # only (warmup's dense grid would truncate every segment) and requires
+    # grid_nlvl == 1 + packed_render (see march_segments docstring).
+    march_seg: int = 0
+    seg_overcommit: float = 1.5
+    seg_pool: int = 4
     # steady-state per-ray candidate cap (renderer.pack_candidates): packs
     # each ray's valid candidates into this many slots before cross-ray
     # compaction, shrinking lattice-proportional ops by

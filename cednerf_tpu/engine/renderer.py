@@ -14,9 +14,34 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.occupancy import (OccGridState, RayCandidates, RaySamples,
-                             march_candidates, march_rays)
+                             coarse_lookup, march_candidates, march_rays,
+                             march_t_lattice, occupancy_lookup,
+                             pooled_binaries)
 from ..ops.render import composite, reduce_along_rays, render_weights_from_density
 from .config import SceneConfig
+
+
+class PackedSamples(NamedTuple):
+    """A budgeted, ray-major packed sample batch ready for field evaluation.
+
+    Per-slot ([budget]-shaped): pos [B,3], dirs [B,3], ts [B], t_starts [B],
+    dts [B], valid [B] bool (False = padding slot), ray [B] i32 (owning ray).
+    Per-ray ([R]-shaped): starts/counts (each ray's contiguous segment in the
+    packed buffer), complete (no valid sample of the ray was dropped).
+    n_valid: the pre-truncation valid-sample demand (host batch feedback).
+    """
+
+    pos: jnp.ndarray
+    dirs: jnp.ndarray
+    ts: jnp.ndarray
+    t_starts: jnp.ndarray
+    dts: jnp.ndarray
+    valid: jnp.ndarray
+    ray: jnp.ndarray
+    starts: jnp.ndarray
+    counts: jnp.ndarray
+    complete: jnp.ndarray
+    n_valid: jnp.ndarray
 
 
 class RenderResult(NamedTuple):
@@ -248,48 +273,38 @@ def render_rays_budget(
                         n_samples=n_samples, extras=extras)
 
 
-def render_rays_budget_packed(
-    field,
-    params,
+def _block_starts(counts, budget: int, n_blocks: int):
+    """Per-ray packed-buffer segment starts from per-ray counts ([R] i32)."""
+    r = counts.shape[0]
+    rb = r // n_blocks
+    bb = budget // n_blocks
+    cb = counts.reshape(n_blocks, rb)
+    starts = (jnp.cumsum(cb, axis=-1) - cb
+              + (jnp.arange(n_blocks, dtype=jnp.int32) * bb)[:, None]
+              ).reshape(-1)                                       # [R]
+    # block overflow can leave starts past the block's slots; clamp so the
+    # boundary gathers stay in range (those rays are complete=0 anyway)
+    return jnp.minimum(starts, budget)
+
+
+def pack_budget_samples(
     origins,
     viewdirs,
     cand: RayCandidates,
     timestamps,
-    render_bkgd,
-    occ_mean: Optional[jnp.ndarray] = None,
     *,
     budget: int,
-    alpha_thre: float = 0.0,
-    train: bool = True,
     n_blocks: int = 1,
     ray_complete: Optional[jnp.ndarray] = None,
-) -> RenderResult:
-    """Budgeted rendering with PACKED compositing: the transmittance scan and
-    all per-ray accumulations run directly on the [budget] compacted buffer,
-    so the [R*M, C] dense scatter-back of render_rays_budget (and every
-    [R, M]-lattice composite array) disappears from the program.
+) -> PackedSamples:
+    """Cross-ray compaction of a dense candidate lattice into PackedSamples.
 
-    Mechanics (the nerfacc packed-rays design, rebuilt with XLA scans):
-      * compacted slots are ray-major (compact_select's sel is ascending per
-        block), so a ray's samples form one contiguous segment;
-      * per-ray exclusive prefixes = global exclusive cumsum minus the
-        ray-base prefix (one [R]-gather at segment starts) — block padding
-        carries zeros, so cumsums pass through it unchanged;
-      * per-ray sums = boundary differences of one [budget+1, C] exclusive
-        cumsum (C = 5: w*rgb, w, w*t_mid);
-      * f32 global cumsums: the running total reaches ~1e4, so boundary
-        differences keep ~1e-3 absolute accuracy — comparable to the bf16
-        compute noise of the field itself (gated by the dense-vs-packed
-        equality test).
-
-    extras carries packed per-slot fields (suffix `_p`) plus ray/starts/
-    counts for the packed loss forms in ops/losses.py.
+    Slots are ray-major (compact_select's sel is ascending per block), so a
+    ray's samples form one contiguous [starts, starts+counts) segment.
     """
-    from ..utils.math import exclusive_cumsum
-
     r, m = cand.valid.shape
     n = r * m
-    sel, kept, rank = compact_select(cand.valid, budget, n_blocks=n_blocks)
+    sel, kept, _ = compact_select(cand.valid, budget, n_blocks=n_blocks)
     sel_valid = sel < n
     sel_c = jnp.minimum(sel, n - 1)
     srt = n_blocks == 1
@@ -306,33 +321,201 @@ def render_rays_budget_packed(
     t0s_p, dts_p = tv[:, 0], tv[:, 1]
     pos = o + d * (t0s_p + 0.5 * dts_p)[:, None]
 
-    rgb_c, res_c = field.apply(params, pos, ts[:, None], d,
+    counts = jnp.sum(kept, axis=-1).astype(jnp.int32)            # [R]
+    starts = _block_starts(counts, budget, n_blocks)
+    complete = (
+        jnp.logical_not(jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
+        & (True if ray_complete is None else ray_complete)
+    )
+    return PackedSamples(
+        pos=pos, dirs=d, ts=ts, t_starts=t0s_p, dts=dts_p, valid=sel_valid,
+        ray=ray, starts=starts, counts=counts, complete=complete,
+        n_valid=jnp.sum(cand.valid),
+    )
+
+
+def march_segments(
+    occ_state: OccGridState,
+    origins,
+    viewdirs,
+    timestamps,
+    *,
+    budget: int,
+    near_plane: float,
+    far_plane: float,
+    render_step_size: float,
+    cone_angle: float = 0.0,
+    max_march_steps: int = 1024,
+    seg: int = 8,
+    overcommit: float = 1.5,
+    pool: int = 4,
+    n_blocks: int = 1,
+    stratified_key=None,
+) -> PackedSamples:
+    """Two-stage (segment -> sample) budgeted marching into PackedSamples.
+
+    The dense path (march_candidates + pack_budget_samples) pays occupancy
+    gathers, position math, and a compaction cumsum on the FULL [R, M]
+    candidate lattice (~7x the budget at steady state). This path:
+
+      1. tests occupancy per `seg`-step SEGMENT against a pooled+dilated
+         coarse grid ([R, M/seg] lattice; a conservative superset — see
+         ops/occupancy.py pooled_binaries), and compacts the occupied
+         segments to a fixed `budget*overcommit/seg` buffer;
+      2. evaluates fine per-sample positions + occupancy only INSIDE the
+         selected segments and compacts those to the final `budget`.
+
+    Fine lattice work therefore shrinks from R*M to ~budget*overcommit.
+    Slot order stays ray-major/t-ascending (both compactions are ascending
+    per block), so the result composites identically to the dense path.
+
+    Correctness scope: single-level occupancy grids (asserted). With nested
+    levels a segment straddling a level boundary could have samples whose
+    containing level differs from the tested endpoint's, and the coarse test
+    would not be a strict superset; the dense path remains the multi-level
+    fallback (engine/train.py picks by cfg.grid_nlvl).
+    """
+    assert occ_state.levels == 1, "march_segments: single-level grids only"
+    assert max_march_steps % seg == 0
+    r = origins.shape[0]
+    m = max_march_steps
+    ms = m // seg
+    nseg = r * ms
+    # segment-slot budget: multiple of (8 * n_blocks) for clean blocking
+    sb = max(int(budget * overcommit) // seg, n_blocks * 8)
+    sb = -(-sb // (8 * n_blocks)) * (8 * n_blocks)
+
+    t0, dt, t_max = march_t_lattice(
+        occ_state, origins, viewdirs, near_plane=near_plane,
+        far_plane=far_plane, render_step_size=render_step_size,
+        cone_angle=cone_angle, max_march_steps=max_march_steps,
+        stratified_key=stratified_key,
+    )
+
+    # ---- stage A: coarse segment test + segment compaction ----
+    coarse = pooled_binaries(occ_state, pool=pool, dilate=1)
+    # Probe the coarse grid at the midpoint of the segment's t-range CLIPPED
+    # to t_max: a raw segment midpoint can lie past the AABB exit (outside
+    # every level -> coarse_lookup False) while earlier samples of the same
+    # segment are still valid — clipping keeps the probe inside the AABB and
+    # within half a (clipped) segment of every valid sample, preserving the
+    # dilation superset bound.
+    t_lo = t0[:, ::seg]                                          # [R, Ms]
+    t_hi = t0[:, seg - 1::seg] + dt[:, seg - 1::seg]
+    t_hi = jnp.maximum(jnp.minimum(t_hi, t_max[:, None]), t_lo)
+    tm_seg = 0.5 * (t_lo + t_hi)                                 # [R, Ms]
+    pos_seg = origins[:, None, :] + viewdirs[:, None, :] * tm_seg[..., None]
+    seg_valid = ((t_lo < t_max[:, None])
+                 & coarse_lookup(occ_state, coarse, pos_seg))    # [R, Ms]
+    seg_sel, seg_kept, _ = compact_select(seg_valid, sb, n_blocks=n_blocks)
+    seg_ok = seg_sel < nseg
+    seg_c = jnp.minimum(seg_sel, nseg - 1)
+    srt = n_blocks == 1
+    seg_ray = seg_c // ms                                        # [SB]
+
+    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
+    ray_info = jnp.concatenate(
+        [origins, viewdirs, ts_full[:, None]], axis=-1)          # [R, 7]
+    ri = jnp.take(ray_info, seg_ray, axis=0, indices_are_sorted=srt)
+    # per-segment t block: one [SB, 2*seg] row gather
+    tl = jnp.concatenate(
+        [t0.reshape(nseg, seg), dt.reshape(nseg, seg)], axis=-1)
+    tv = jnp.take(tl, seg_c, axis=0, indices_are_sorted=srt)
+    t0_s, dt_s = tv[:, :seg], tv[:, seg:]                        # [SB, seg]
+
+    # ---- stage B: fine per-sample test + sample compaction ----
+    pos_s = (ri[:, None, 0:3]
+             + ri[:, None, 3:6] * (t0_s + 0.5 * dt_s)[..., None])  # [SB,seg,3]
+    tmax_s = jnp.take(t_max, seg_ray, indices_are_sorted=srt)
+    fine_valid = (occupancy_lookup(occ_state, pos_s)
+                  & (t0_s < tmax_s[:, None]) & seg_ok[:, None])  # [SB, seg]
+    n2 = sb * seg
+    sel2, kept2, _ = compact_select(fine_valid, budget, n_blocks=n_blocks)
+    ok2 = sel2 < n2
+    c2 = jnp.minimum(sel2, n2 - 1)
+    sidx = c2 // seg                                             # [B] -> SB
+
+    spack = jnp.concatenate(
+        [pos_s.reshape(n2, 3), t0_s.reshape(n2, 1), dt_s.reshape(n2, 1)],
+        axis=-1)                                                 # [n2, 5]
+    sv = jnp.take(spack, c2, axis=0, indices_are_sorted=srt)
+    pos_p, t0_p, dt_p = sv[:, 0:3], sv[:, 3], sv[:, 4]
+    rpack = jnp.concatenate(
+        [ri[:, 3:7], seg_ray[:, None].astype(jnp.float32)], axis=-1)
+    rv = jnp.take(rpack, sidx, axis=0, indices_are_sorted=srt)   # [B, 5]
+    d_p, ts_p = rv[:, 0:3], rv[:, 3]
+    ray_p = rv[:, 4].astype(jnp.int32)
+
+    # ---- per-ray layout + accounting ----
+    cnt_seg = jnp.sum(kept2, axis=-1).astype(jnp.int32)          # [SB]
+    counts = jnp.zeros((r,), jnp.int32).at[seg_ray].add(cnt_seg)
+    starts = _block_starts(counts, budget, n_blocks)
+    drop_a = jnp.any(seg_valid & jnp.logical_not(seg_kept), axis=-1)
+    drop_b_seg = jnp.any(fine_valid & jnp.logical_not(kept2),
+                         axis=-1).astype(jnp.int32)              # [SB]
+    drop_b = jnp.zeros((r,), jnp.int32).at[seg_ray].max(drop_b_seg) > 0
+    complete = jnp.logical_not(drop_a | drop_b)
+    # demand feedback: fine-valid density extrapolated over truncated segs
+    nv_fine = jnp.sum(fine_valid)
+    segs_valid = jnp.sum(seg_valid)
+    segs_kept = jnp.sum(seg_valid & seg_kept)
+    n_valid = (nv_fine.astype(jnp.float32) * segs_valid.astype(jnp.float32)
+               / jnp.maximum(segs_kept.astype(jnp.float32), 1.0)
+               ).astype(jnp.int32)
+    return PackedSamples(
+        pos=pos_p, dirs=d_p, ts=ts_p, t_starts=t0_p, dts=dt_p, valid=ok2,
+        ray=ray_p, starts=starts, counts=counts, complete=complete,
+        n_valid=n_valid,
+    )
+
+
+def render_packed(
+    field,
+    params,
+    ps: PackedSamples,
+    render_bkgd,
+    occ_mean: Optional[jnp.ndarray] = None,
+    *,
+    budget: int,
+    alpha_thre: float = 0.0,
+    train: bool = True,
+) -> RenderResult:
+    """Field evaluation + PACKED compositing on a PackedSamples batch: the
+    transmittance scan and all per-ray accumulations run directly on the
+    [budget] compacted buffer — no [R*M, C] dense scatter-back and no
+    [R, M]-lattice composite arrays anywhere in the program.
+
+    Mechanics (the nerfacc packed-rays design, rebuilt with XLA scans):
+      * per-ray exclusive prefixes = global exclusive cumsum minus the
+        ray-base prefix (one [R]-gather at segment starts) — block padding
+        carries zeros, so cumsums pass through it unchanged;
+      * per-ray sums = boundary differences of one [budget+1, C] exclusive
+        cumsum (C = 5: w*rgb, w, w*t_mid);
+      * f32 global cumsums: the running total reaches ~1e4, so boundary
+        differences keep ~1e-3 absolute accuracy — comparable to the bf16
+        compute noise of the field itself (gated by the dense-vs-packed
+        equality test).
+
+    extras carries packed per-slot fields (suffix `_p`) plus ray/starts/
+    counts for the packed loss forms in ops/losses.py.
+    """
+    from ..utils.math import exclusive_cumsum
+
+    ray, starts, counts = ps.ray, ps.starts, ps.counts
+    t0s_p, dts_p = ps.t_starts, ps.dts
+    rgb_c, res_c = field.apply(params, ps.pos, ps.ts[:, None], ps.dirs,
                                return_internal=train)
 
     sigmas_p = res_c["density"].astype(jnp.float32).reshape(-1)
     rgbs_p = rgb_c.astype(jnp.float32)
 
-    valid_p = sel_valid
+    valid_p = ps.valid
     if alpha_thre > 0:
         thre = alpha_thre if occ_mean is None else jnp.minimum(alpha_thre,
                                                                occ_mean)
         alpha_raw = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas_p) * dts_p)
         valid_p = valid_p & (alpha_raw > thre)
     vf = valid_p.astype(jnp.float32)
-
-    # ray segment geometry: starts/counts in the packed buffer. kept counts
-    # (not valid_p) define the layout; alpha-masked slots stay in place with
-    # sdelta 0, exactly like the dense path's mask.
-    counts = jnp.sum(kept, axis=-1).astype(jnp.int32)            # [R]
-    rb = r // n_blocks
-    bb = budget // n_blocks
-    cb = counts.reshape(n_blocks, rb)
-    starts = (jnp.cumsum(cb, axis=-1) - cb
-              + (jnp.arange(n_blocks, dtype=jnp.int32) * bb)[:, None]
-              ).reshape(-1)                                       # [R]
-    # block overflow can leave starts past the block's slots; clamp so the
-    # boundary gathers stay in range (those rays are complete=0 anyway)
-    starts = jnp.minimum(starts, budget)
 
     sdelta_p = sigmas_p * dts_p * vf
     excl_sd = exclusive_cumsum(sdelta_p, axis=0)                  # [B]
@@ -379,12 +562,8 @@ def render_rays_budget_packed(
         "ray": ray,
         "starts": starts,
         "counts": counts,
-        "complete": (
-            jnp.logical_not(
-                jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
-            & (True if ray_complete is None else ray_complete)
-        ).astype(jnp.float32),
-        "n_valid": jnp.sum(cand.valid),
+        "complete": ps.complete.astype(jnp.float32),
+        "n_valid": ps.n_valid,
     }
     internal_c = res_c.get("internal") if train else None
     if internal_c is not None:
@@ -404,6 +583,34 @@ def render_rays_budget_packed(
     n_samples = jnp.sum(vf)
     return RenderResult(rgb=rgb, opacity=opacity, depth=depth,
                         n_samples=n_samples, extras=extras)
+
+
+def render_rays_budget_packed(
+    field,
+    params,
+    origins,
+    viewdirs,
+    cand: RayCandidates,
+    timestamps,
+    render_bkgd,
+    occ_mean: Optional[jnp.ndarray] = None,
+    *,
+    budget: int,
+    alpha_thre: float = 0.0,
+    train: bool = True,
+    n_blocks: int = 1,
+    ray_complete: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    """pack_budget_samples + render_packed on a dense candidate lattice
+    (the budgeted packed-compositing train path; see those functions)."""
+    ps = pack_budget_samples(
+        origins, viewdirs, cand, timestamps, budget=budget,
+        n_blocks=n_blocks, ray_complete=ray_complete,
+    )
+    return render_packed(
+        field, params, ps, render_bkgd, occ_mean, budget=budget,
+        alpha_thre=alpha_thre, train=train,
+    )
 
 
 def render_rays(

@@ -31,8 +31,8 @@ from ..ops import losses as L
 from ..ops.occupancy import (OccGridState, create_occ_grid, march_candidates,
                              update_occ_grid)
 from .config import ModelFlags, SceneConfig
-from .renderer import (pack_candidates, render_rays_budget,
-                       render_rays_budget_packed)
+from .renderer import (march_segments, pack_candidates, render_packed,
+                       render_rays_budget, render_rays_budget_packed)
 
 
 class TrainState(NamedTuple):
@@ -99,7 +99,7 @@ def occ_mean_value(occ: OccGridState):
 
 
 def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
-                   s_cap: int = 0):
+                   s_cap: int = 0, use_seg: bool = False):
     """The shared un-jitted train step: march + budgeted render + losses + Adam.
 
     batch: dict with origins [R,3], viewdirs [R,3], pixels [R,3],
@@ -111,38 +111,70 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
     cross-ray compaction (renderer.pack_candidates) — the steady-state
     program's lattice ops shrink by max_march_steps/s_cap. Truncated rays
     (> s_cap valid) are flagged incomplete. Leave 0 during occupancy warmup.
+
+    use_seg routes marching through the two-stage segment compaction
+    (renderer.march_segments, cfg.march_seg) instead of the dense candidate
+    lattice — steady state only (a dense warmup grid truncates every
+    segment).
     """
+    use_seg = bool(use_seg and cfg.march_seg and cfg.packed_render
+                   and cfg.grid_nlvl == 1)
 
     def one_step(state: TrainState, batch, key):
         k_march, = jax.random.split(key, 1)
-        cand = march_candidates(
-            state.occ,
-            batch["origins"],
-            batch["viewdirs"],
-            near_plane=cfg.near_plane,
-            far_plane=cfg.far_plane,
-            render_step_size=cfg.render_step_size,
-            cone_angle=cfg.cone_angle,
-            max_march_steps=cfg.max_march_steps,
-            stratified_key=k_march,
-        )
         occ_mean = occ_mean_value(state.occ)
-        n_valid_full = jnp.sum(cand.valid)
-        if s_cap and s_cap < cfg.max_march_steps:
-            cand, fits = pack_candidates(cand, s_cap)
+
+        if use_seg:
+            ps = march_segments(
+                state.occ, batch["origins"], batch["viewdirs"],
+                batch["timestamps"],
+                budget=budget,
+                near_plane=cfg.near_plane,
+                far_plane=cfg.far_plane,
+                render_step_size=cfg.render_step_size,
+                cone_angle=cfg.cone_angle,
+                max_march_steps=cfg.max_march_steps,
+                seg=cfg.march_seg,
+                overcommit=cfg.seg_overcommit,
+                pool=cfg.seg_pool,
+                n_blocks=cfg.compact_blocks,
+                stratified_key=k_march,
+            )
+            n_valid_full = ps.n_valid
         else:
-            fits = None
+            cand = march_candidates(
+                state.occ,
+                batch["origins"],
+                batch["viewdirs"],
+                near_plane=cfg.near_plane,
+                far_plane=cfg.far_plane,
+                render_step_size=cfg.render_step_size,
+                cone_angle=cfg.cone_angle,
+                max_march_steps=cfg.max_march_steps,
+                stratified_key=k_march,
+            )
+            n_valid_full = jnp.sum(cand.valid)
+            if s_cap and s_cap < cfg.max_march_steps:
+                cand, fits = pack_candidates(cand, s_cap)
+            else:
+                fits = None
 
         def loss_fn(params):
-            render = (render_rays_budget_packed if cfg.packed_render
-                      else render_rays_budget)
-            out = render(
-                field, params,
-                batch["origins"], batch["viewdirs"], cand,
-                batch["timestamps"], batch["color_bkgd"], occ_mean,
-                budget=budget, alpha_thre=cfg.alpha_thre, train=True,
-                n_blocks=cfg.compact_blocks, ray_complete=fits,
-            )
+            if use_seg:
+                out = render_packed(
+                    field, params, ps, batch["color_bkgd"], occ_mean,
+                    budget=budget, alpha_thre=cfg.alpha_thre, train=True,
+                )
+            else:
+                render = (render_rays_budget_packed if cfg.packed_render
+                          else render_rays_budget)
+                out = render(
+                    field, params,
+                    batch["origins"], batch["viewdirs"], cand,
+                    batch["timestamps"], batch["color_bkgd"], occ_mean,
+                    budget=budget, alpha_thre=cfg.alpha_thre, train=True,
+                    n_blocks=cfg.compact_blocks, ray_complete=fits,
+                )
             extras = out.extras
             complete = extras["complete"]  # [R] 1.0 where no sample dropped
             denom = jnp.maximum(jnp.sum(complete), 1.0)
@@ -280,6 +312,7 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
     one_step = _make_one_step(
         field, cfg, flags, budget or cfg.sample_budget, tx,
         s_cap=0 if warmup_phase else cfg.steady_s_cap,
+        use_seg=not warmup_phase,
     )
 
     @jax.jit

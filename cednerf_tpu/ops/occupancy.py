@@ -249,6 +249,76 @@ def occupancy_lookup(state: OccGridState, pos):
     return hit.reshape(lead) & any_inside
 
 
+def pooled_binaries(state: OccGridState, pool: int = 4,
+                    dilate: int = 1) -> jnp.ndarray:
+    """Conservative coarse occupancy for segment-level marching.
+
+    Returns [levels, res/pool, res/pool, res/pool] bool where a coarse cell
+    is set iff ANY fine cell within its `pool`^3 block — or within `dilate`
+    coarse cells around it — is occupied at this level OR any finer one.
+    Finer levels are OR'd in (each level's AABB is the center half of the
+    next, so level l-1 2x-pooled lands in the central res/2 block of level
+    l): marching tests only the finest level CONTAINING a segment midpoint,
+    but a sample inside that segment can fall in a finer nested level whose
+    own bits level l's probes don't imply.
+
+    The dilation makes a single midpoint test cover a whole segment: with
+    segment length <= dilate * coarse cell size (+ a fine cell diagonal),
+    every sample position of a coarse-occupied segment maps into the dilated
+    neighborhood. This is the TPU replacement for nerfacc's per-level DDA
+    traversal (SURVEY N3): a superset test, never dropping a valid sample.
+    """
+    L, res = state.binaries.shape[0], state.resolution
+    assert res % pool == 0 and res % 4 == 0
+    combined = []
+    prev = None  # previous (finer) level's combined bits at full res
+    for l in range(L):
+        bits = state.binaries[l]
+        if prev is not None:
+            # 2x maxpool the finer level, embed at the center of this one
+            p2 = jax.lax.reduce_window(
+                prev, False, jax.lax.bitwise_or,
+                (2, 2, 2), (2, 2, 2), "VALID")
+            q = res // 4
+            bits = bits | jnp.pad(
+                p2, ((q, q), (q, q), (q, q)), constant_values=False)
+        combined.append(bits)
+        prev = bits
+    comb = jnp.stack(combined)  # [L, res, res, res]
+    coarse = jax.lax.reduce_window(
+        comb, False, jax.lax.bitwise_or,
+        (1, pool, pool, pool), (1, pool, pool, pool), "VALID")
+    if dilate:
+        k = 2 * dilate + 1
+        coarse = jax.lax.reduce_window(
+            coarse, False, jax.lax.bitwise_or,
+            (1, k, k, k), (1, 1, 1, 1), "SAME")
+    return coarse
+
+
+def coarse_lookup(state: OccGridState, coarse: jnp.ndarray, pos):
+    """occupancy_lookup against a pooled_binaries grid. pos [..., 3] -> bool."""
+    res_c = coarse.shape[-1]
+    amin = state.aabbs[:, :3]
+    amax = state.aabbs[:, 3:]
+    inside = jnp.all(
+        (pos[..., None, :] >= amin) & (pos[..., None, :] <= amax), axis=-1
+    )
+    any_inside = jnp.any(inside, axis=-1)
+    level = jnp.argmax(inside, axis=-1)
+    lmin = amin[level]
+    lsize = amax[level] - amin[level]
+    u = (pos - lmin) / lsize
+    ic = jnp.clip(jnp.floor(u * res_c).astype(jnp.int32), 0, res_c - 1)
+    lead = ic.shape[:-1]
+    zrow_idx = ((level.reshape(-1) * res_c + ic[..., 0].reshape(-1)) * res_c
+                + ic[..., 1].reshape(-1))
+    rows = jnp.take(coarse.reshape(-1, res_c), zrow_idx, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, res_c), 1)
+    hit = jnp.any(rows & (lane == ic[..., 2].reshape(-1, 1)), axis=-1)
+    return hit.reshape(lead) & any_inside
+
+
 class RayCandidates(NamedTuple):
     """Dense (uncompacted) marching candidates: all arrays [n_rays, n_steps].
 
@@ -263,6 +333,45 @@ class RayCandidates(NamedTuple):
     @property
     def t_ends(self):
         return self.t_starts + self.dts
+
+
+def march_t_lattice(
+    state: OccGridState,
+    origins,
+    viewdirs,
+    *,
+    near_plane: float,
+    far_plane: float,
+    render_step_size: float,
+    cone_angle: float = 0.0,
+    max_march_steps: int = 1024,
+    stratified_key=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The candidate t lattice (no occupancy): (t0 [R, M], dt [R, M],
+    t_max [R]). Uniform steps with cone-angle growth + stratified jitter —
+    nerfacc's step schedule (SURVEY N1)."""
+    n_rays = origins.shape[0]
+    # Enter at the outermost level's AABB.
+    t_min, t_max = ray_aabb_intersect(origins, viewdirs, state.aabbs[-1])
+    t_min = jnp.maximum(t_min, near_plane)
+    t_max = jnp.minimum(t_max, far_plane)
+
+    if stratified_key is not None:
+        t_min = t_min + jax.random.uniform(stratified_key, (n_rays,)) * render_step_size
+
+    if cone_angle == 0.0:
+        steps = jnp.arange(max_march_steps, dtype=jnp.float32)
+        t0 = t_min[:, None] + steps[None, :] * render_step_size
+        dt = jnp.full_like(t0, render_step_size)
+    else:
+        def scan_step(t, _):
+            d = jnp.clip(t * cone_angle, min=render_step_size)
+            return t + d, (t, d)
+
+        _, (t0_t, dt_t) = jax.lax.scan(scan_step, t_min, None, length=max_march_steps)
+        t0 = jnp.swapaxes(t0_t, 0, 1)
+        dt = jnp.swapaxes(dt_t, 0, 1)
+    return t0, dt, t_max
 
 
 def march_candidates(
@@ -285,28 +394,11 @@ def march_candidates(
     compaction happens here (that's a consumer decision — per-ray for eval,
     cross-ray budgeted for training).
     """
-    n_rays = origins.shape[0]
-    # Enter at the outermost level's AABB.
-    t_min, t_max = ray_aabb_intersect(origins, viewdirs, state.aabbs[-1])
-    t_min = jnp.maximum(t_min, near_plane)
-    t_max = jnp.minimum(t_max, far_plane)
-
-    if stratified_key is not None:
-        t_min = t_min + jax.random.uniform(stratified_key, (n_rays,)) * render_step_size
-
-    if cone_angle == 0.0:
-        steps = jnp.arange(max_march_steps, dtype=jnp.float32)
-        t0 = t_min[:, None] + steps[None, :] * render_step_size
-        dt = jnp.full_like(t0, render_step_size)
-    else:
-        def scan_step(t, _):
-            d = jnp.clip(t * cone_angle, min=render_step_size)
-            return t + d, (t, d)
-
-        _, (t0_t, dt_t) = jax.lax.scan(scan_step, t_min, None, length=max_march_steps)
-        t0 = jnp.swapaxes(t0_t, 0, 1)
-        dt = jnp.swapaxes(dt_t, 0, 1)
-
+    t0, dt, t_max = march_t_lattice(
+        state, origins, viewdirs, near_plane=near_plane, far_plane=far_plane,
+        render_step_size=render_step_size, cone_angle=cone_angle,
+        max_march_steps=max_march_steps, stratified_key=stratified_key,
+    )
     t_mid = t0 + dt / 2.0
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]
     valid = (t0 < t_max[:, None]) & occupancy_lookup(state, pos)
