@@ -1,0 +1,120 @@
+"""Pallas VMEM-accumulator scatter-add for encoder table gradients.
+
+The encoder backward's dominant cost on v5e is XLA's scatter-add of
+per-sample update rows into the (small, VMEM-sized) level tables:
+~2.7-4.4 ms per [262k, 256-lane] scatter, per-row overhead-bound at
+~150 M rows/s regardless of table size or collisions (ROADMAP round-2
+scatter experiments). Eight levels -> ~30 ms of a ~94 ms step.
+
+This kernel keeps the WHOLE gradient accumulator resident in VMEM across a
+sequential sample-tile grid and performs the read-modify-write per row as a
+VMEM dynamic-index accumulate — no HBM round trip per row. The accumulator
+is written back to HBM exactly once, on the last grid step. This is the
+TPU-native analogue of tcnn's shared-memory gradient accumulation
+(reference spec: the Taichi backward's atomic `+=` table scatters,
+hash_encoder_half.py:164-227) — collisions cost nothing because the loop
+is sequential per core.
+
+`scatter_add_onehot` is the MXU alternative for SMALL dense tables
+(n_rows up to ~1-2k): express the scatter as acc += onehot(rows)^T @ upd
+per sample block inside a lax.scan — O(N * n_rows * W) FLOPs, which beats
+the per-row scatter overhead only when n_rows is tiny.
+
+Both are bit-compatible with `jnp.zeros(...).at[rows].add(upd)` (gated by
+tests/test_pallas_scatter.py, interpret mode on CPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "accum_dtype", "tile", "unroll", "interpret"),
+)
+def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
+                     tile: int = 2048, unroll: int = 8,
+                     interpret: bool = False):
+    """VMEM-resident scatter-add: acc[rows[i]] += upd[i].
+
+    rows: [N] int32 in [0, n_rows); upd: [N, W]. Returns [n_rows, W] in
+    accum_dtype. VMEM must hold n_rows * W * itemsize(accum_dtype) plus two
+    [tile, W] input buffers — at W=256 lanes that is 16384 rows in bf16 or
+    8192 rows in f32 (~8 MB), within a v5e core's ~16 MB budget.
+    """
+    n, w = upd.shape
+    assert n % tile == 0, (n, tile)
+    adt = jnp.dtype(accum_dtype)
+
+    def kernel(rows_ref, upd_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(j, _):
+            # unrolled strided sub-loop: gives Mosaic independent RMW chains
+            # to overlap (consecutive rows often collide on ray-coherent
+            # indices; strided ones rarely do)
+            for u in range(unroll):
+                r = rows_ref[j + u * (tile // unroll)]
+                acc_ref[pl.ds(r, 1), :] += (
+                    upd_ref[pl.ds(j + u * (tile // unroll), 1), :]
+                    .astype(acc_ref.dtype)
+                )
+            return 0
+
+        jax.lax.fori_loop(0, tile // unroll, body, 0)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_rows, w), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, w), adt),
+        scratch_shapes=[pltpu.VMEM((n_rows, w), adt)],
+        interpret=interpret,
+    )(rows.astype(jnp.int32), upd)
+
+
+def scatter_add_onehot(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
+                       block: int = 8192):
+    """MXU scatter-add for small tables: acc += onehot(rows)^T @ upd.
+
+    O(N * n_rows * W) FLOPs — only sensible for n_rows up to ~1-2k, where
+    it is effectively free next to a per-row scatter's fixed overhead
+    (262k x 1000 x 256 x 2 = 134 GFLOP ~ 0.7 ms at v5e bf16 peak).
+    """
+    n, w = upd.shape
+    assert n % block == 0, (n, block)
+    adt = jnp.dtype(accum_dtype)
+    rid = jnp.arange(n_rows, dtype=jnp.int32)
+    rows_b = rows.astype(jnp.int32).reshape(-1, block)
+    upd_b = upd.reshape(-1, block, w)
+
+    def step(acc, xs):
+        rb, ub = xs
+        onehot = (rb[:, None] == rid[None, :]).astype(ub.dtype)  # [B, R]
+        acc = acc + jax.lax.dot_general(
+            onehot, ub, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(adt)
+        return acc, None
+
+    acc0 = jnp.zeros((n_rows, w), adt)
+    acc, _ = jax.lax.scan(step, acc0, (rows_b, upd_b))
+    return acc
