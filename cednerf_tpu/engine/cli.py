@@ -91,4 +91,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         time_inject_before_sigma=flags.time_inject_before_sigma,
         grid_type=flags.grid_type,
         grad_accum_dtype=cfg.grad_accum_dtype,
+        scatter_impl=cfg.scatter_impl,
     )

@@ -62,6 +62,10 @@ class SceneConfig:
     # (the reference's tcnn accumulates hash grads in fp16); PSNR-gated on
     # the synthetic scene (tools/validate_synthetic.py)
     grad_accum_dtype: str = "bfloat16"
+    # encoder table-grad scatter impl: "xla" | "pallas" | "onehot" | "auto"
+    # (ops/brick_grid.py _scatter_rows; pending v5e A/B via
+    # tools/profile_pallas_scatter.py)
+    scatter_impl: str = "xla"
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no
     # [R*M, C] scatter-back or [R, M] composite arrays in the train program

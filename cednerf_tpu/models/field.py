@@ -104,6 +104,7 @@ class HashGridEncoder(nn.Module):
                 log2_hashmap_size=self.spec.log2_hashmap_size,
                 time_keyframes=self.spec.time_keyframes,
                 grad_accum_dtype=self.spec.grad_accum_dtype,
+                scatter_impl=self.spec.scatter_impl,
             )
             params = {
                 name: self.param(
@@ -205,6 +206,7 @@ class DNGPRadianceField(nn.Module):
     time_keyframes: int = 4  # only for grid_type == "hash4d"
     encoder_impl: str = "brick"  # hot-path layout: "brick" (TPU-first) or "gather"
     grad_accum_dtype: str = "float32"  # encoder table-grad accumulator
+    scatter_impl: str = "xla"  # encoder table-grad scatter (see BrickGridSpec)
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -216,6 +218,7 @@ class DNGPRadianceField(nn.Module):
             log2_hashmap_size=self.log2_hashmap_size,
             time_keyframes=self.time_keyframes if self.grid_type == "hash4d" else 0,
             grad_accum_dtype=self.grad_accum_dtype,
+            scatter_impl=self.scatter_impl,
         )
 
     @property

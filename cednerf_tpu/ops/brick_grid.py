@@ -82,6 +82,12 @@ class BrickGridSpec:
     # read traffic; the reference's tcnn accumulates hash grads in fp16 too,
     # hash_encoder_half.py); "float32" is exact (used by grad-parity tests)
     grad_accum_dtype: str = "float32"
+    # table-gradient scatter implementation: "xla" (.at[].add), "pallas"
+    # (VMEM-resident accumulator, ops/pallas_scatter.py), "onehot" (MXU
+    # one-hot matmul, tiny tables only), or "auto" (onehot for tables
+    # <= 1024 rows, pallas otherwise). Non-xla impls fall back to xla when
+    # their shape preconditions fail (see _scatter_rows).
+    scatter_impl: str = "xla"
 
     @property
     def log_b(self) -> float:
@@ -142,6 +148,29 @@ class BrickGridSpec:
         ):
             params[name] = jax.random.uniform(k, shape, jnp.float32, -1e-4, 1e-4)
         return params
+
+
+def _scatter_rows(rows, upd, n_rows: int, adt, impl: str):
+    """Dispatch a table-gradient scatter-add to the configured impl.
+
+    Returns [n_rows, upd.shape[-1]] in accumulator dtype `adt`. Falls back
+    to XLA's .at[].add whenever an impl's shape preconditions fail (sample
+    count not tile-divisible, accumulator too large for VMEM, table too big
+    for the one-hot matmul), so every spec stays runnable on every batch.
+    """
+    n, w = upd.shape
+    if impl == "auto":
+        impl = "onehot" if n_rows <= 1024 else "pallas"
+    if impl == "onehot" and n_rows <= 1024 and n % 2048 == 0:
+        from .pallas_scatter import scatter_add_onehot
+        return scatter_add_onehot(rows, upd, n_rows=n_rows, accum_dtype=adt,
+                                  block=2048)
+    if (impl == "pallas" and n % 2048 == 0
+            and n_rows * w * jnp.dtype(adt).itemsize <= 12 * 2 ** 20):
+        from .pallas_scatter import scatter_add_rows
+        return scatter_add_rows(rows, upd, n_rows=n_rows, accum_dtype=adt,
+                                tile=2048)
+    return jnp.zeros((n_rows, w), adt).at[rows].add(upd.astype(adt))
 
 
 def _expand_brick_axis(g, axis: int, nb: int):
@@ -333,7 +362,8 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                        n_feat: int, dtype_name: str,
                        table_dtype_name: str = "float32",
                        dx_impl: str = "hybrid",
-                       accum_dtype_name: str = "float32"):
+                       accum_dtype_name: str = "float32",
+                       scatter_impl: str = "xla"):
     """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
 
     The autodiff backward through the trilinear-weight outer product
@@ -399,7 +429,7 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         gout = jnp.dot(g.astype(cdtype), expand)           # [N, W]
         upd = (wx * wy * wz) * gout
         adt = jnp.dtype(accum_dtype_name)
-        d_table = jnp.zeros((n_rows, W), adt).at[rows].add(upd.astype(adt))
+        d_table = _scatter_rows(rows, upd, n_rows, adt, scatter_impl)
         h = feats * gout
 
         def lane_dot(a_, b_, c_):
@@ -422,7 +452,7 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         gout = jnp.tile(g.astype(cdtype), (1, CORNERS_PER_BRICK))  # [N, 64F]
         upd = _w_lanes(w, F) * gout
         adt = jnp.dtype(accum_dtype_name)
-        d_table = jnp.zeros((n_rows, W), adt).at[rows].add(upd.astype(adt))
+        d_table = _scatter_rows(rows, upd, n_rows, adt, scatter_impl)
         # Position gradient in fused lane form: d_frac_a = sum over row lanes
         # of (feats * gout) * (dW/dfrac_a lanes), where the derivative-weight
         # lanes substitute dw for w on axis a. Each axis is one [N, 64F]
@@ -549,7 +579,8 @@ def _axis_lane_weights(axis: int, intra_a, frac_a, dtype, n_features: int):
 def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
                        n_feat: int, dtype_name: str,
                        table_dtype_name: str = "float32",
-                       accum_dtype_name: str = "float32"):
+                       accum_dtype_name: str = "float32",
+                       scatter_impl: str = "xla"):
     """Analytic custom-VJP fused encode: (flat_table [R,64F], x) -> [N, L*F].
 
     Single gather / single scatter-add for all levels; all interpolation
@@ -608,7 +639,8 @@ def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
                        expand).reshape(n, L, W)
         upd = lanes * gout
         adt = jnp.dtype(accum_dtype_name)
-        d_table = jnp.zeros((total_rows, W), adt).at[rows].add(upd.astype(adt))
+        d_table = _scatter_rows(rows.reshape(-1), upd.reshape(-1, W),
+                                total_rows, adt, scatter_impl)
         h = feats * gout                                   # [N,L,W]
 
         def lane_dot(a_, b_, c_):
@@ -651,7 +683,7 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
         tuple(lay["rows"] for lay in layouts),
         tuple(offsets), off, spec.n_features,
         jnp.dtype(compute_dtype).name, flat.dtype.name,
-        spec.grad_accum_dtype)
+        spec.grad_accum_dtype, spec.scatter_impl)
     return enc(flat, x)
 
 
@@ -659,7 +691,8 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
 def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                           n_feat: int, keyframes: int, dtype_name: str,
                           table_dtype_name: str = "float32",
-                          accum_dtype_name: str = "float32"):
+                          accum_dtype_name: str = "float32",
+                          scatter_impl: str = "xla"):
     """Analytic custom-VJP 4D level encode: (flat [rows*K, 64F], x, t) -> [N, F].
 
     Keyframe-lerped brick rows (lerp(table[row,k], table[row,k+1], t_frac)
@@ -731,11 +764,19 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
         upd = w_row * gout
         tfc = t_frac[:, None]
         adt = jnp.dtype(accum_dtype_name)
-        d_flat = (
-            jnp.zeros((n_rows * K, W), adt)
-            .at[rows * K + idx_lo].add((upd * (1.0 - tfc)).astype(adt))
-            .at[rows * K + idx_lo + 1].add((upd * tfc).astype(adt))
-        )
+        if scatter_impl == "xla":
+            d_flat = (
+                jnp.zeros((n_rows * K, W), adt)
+                .at[rows * K + idx_lo].add((upd * (1.0 - tfc)).astype(adt))
+                .at[rows * K + idx_lo + 1].add((upd * tfc).astype(adt))
+            )
+        else:
+            # one combined scatter: both keyframe slots in a single [2N]
+            # row stream (per-op fixed cost paid once)
+            d_flat = _scatter_rows(
+                jnp.concatenate([rows * K + idx_lo, rows * K + idx_lo + 1]),
+                jnp.concatenate([upd * (1.0 - tfc), upd * tfc]),
+                n_rows * K, adt, scatter_impl)
         feats = lo * (1.0 - tfc.astype(cdtype)) + hi * tfc.astype(cdtype)
         h = feats * gout
 
@@ -793,7 +834,8 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 enc = _make_level_encode(
                     float(scale), lay["n_bricks_axis"], lay["hashed"],
                     lay["rows"], f, jnp.dtype(compute_dtype).name,
-                    table.dtype.name, dx_impl, spec.grad_accum_dtype)
+                    table.dtype.name, dx_impl, spec.grad_accum_dtype,
+                    spec.scatter_impl)
                 outs.append(enc(table, x))
             else:
                 rows, w = _level_rows_and_weights(
@@ -826,7 +868,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             enc = _make_level_encode_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],
                 lay["rows"], f, k, jnp.dtype(compute_dtype).name,
-                flat.dtype.name, spec.grad_accum_dtype)
+                flat.dtype.name, spec.grad_accum_dtype, spec.scatter_impl)
             outs.append(enc(flat, x, t))
             continue
         rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,

@@ -68,6 +68,8 @@ class HashGridSpec:
     time_keyframes: int = 0
     # brick-impl table-gradient accumulator dtype (see BrickGridSpec)
     grad_accum_dtype: str = "float32"
+    # brick-impl table-gradient scatter implementation (see BrickGridSpec)
+    scatter_impl: str = "xla"
 
     @property
     def log_b(self) -> float:

@@ -38,14 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 )
 def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
                      tile: int = 2048, unroll: int = 8,
-                     interpret: bool = False):
+                     interpret: bool = None):
     """VMEM-resident scatter-add: acc[rows[i]] += upd[i].
 
     rows: [N] int32 in [0, n_rows); upd: [N, W]. Returns [n_rows, W] in
     accum_dtype. VMEM must hold n_rows * W * itemsize(accum_dtype) plus two
     [tile, W] input buffers — at W=256 lanes that is 16384 rows in bf16 or
     8192 rows in f32 (~8 MB), within a v5e core's ~16 MB budget.
+
+    interpret=None compiles on TPU and interprets elsewhere (CPU test mesh).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n, w = upd.shape
     assert n % tile == 0, (n, tile)
     adt = jnp.dtype(accum_dtype)
