@@ -63,8 +63,10 @@ class SceneConfig:
     # the synthetic scene (tools/validate_synthetic.py)
     grad_accum_dtype: str = "bfloat16"
     # encoder table-grad scatter impl: "xla" | "pallas" | "onehot" | "auto"
-    # (ops/brick_grid.py _scatter_rows; pending v5e A/B via
-    # tools/profile_pallas_scatter.py)
+    # | "fused" (ops/brick_grid.py _scatter_rows; "fused" runs the whole
+    # level backward — lane math + VMEM accumulator — as one Pallas kernel,
+    # ops/pallas_encoder.py interp_bwd_fused; pending v5e A/B via
+    # tools/profile_pallas_scatter.py / profile_step.py)
     scatter_impl: str = "xla"
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no

@@ -84,9 +84,11 @@ class BrickGridSpec:
     grad_accum_dtype: str = "float32"
     # table-gradient scatter implementation: "xla" (.at[].add), "pallas"
     # (VMEM-resident accumulator, ops/pallas_scatter.py), "onehot" (MXU
-    # one-hot matmul, tiny tables only), or "auto" (onehot for tables
-    # <= 1024 rows, pallas otherwise). Non-xla impls fall back to xla when
-    # their shape preconditions fail (see _scatter_rows).
+    # one-hot matmul, tiny tables only), "fused" (whole level backward —
+    # lane math + VMEM accumulator — as one Pallas kernel,
+    # ops/pallas_encoder.py interp_bwd_fused; 3D levels only), or "auto"
+    # (onehot for tables <= 1024 rows, pallas otherwise). Non-xla impls
+    # fall back when their shape preconditions fail (see _scatter_rows).
     scatter_impl: str = "xla"
 
     @property
@@ -161,6 +163,11 @@ def _scatter_rows(rows, upd, n_rows: int, adt, impl: str):
     n, w = upd.shape
     if impl == "auto":
         impl = "onehot" if n_rows <= 1024 else "pallas"
+    if impl == "fused":
+        # "fused" is handled upstream (interp_bwd_fused) when its
+        # preconditions hold; here it means that path fell through, so use
+        # the VMEM-accumulator scatter as the closest standalone impl.
+        impl = "pallas"
     if impl == "onehot" and n_rows <= 1024 and n % 2048 == 0:
         from .pallas_scatter import scatter_add_onehot
         return scatter_add_onehot(rows, upd, n_rows=n_rows, accum_dtype=adt,
@@ -424,6 +431,17 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
     def bwd_cmp(res, g):
         x, feats = res
         rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        adt0 = jnp.dtype(accum_dtype_name)
+        if (scatter_impl == "fused" and x.shape[0] % 1024 == 0
+                and n_rows * W * adt0.itemsize <= 12 * 2 ** 20):
+            # one Pallas pass: lane math + VMEM-resident accumulator —
+            # the update rows never touch HBM (ops/pallas_encoder.py)
+            from .pallas_encoder import interp_bwd_fused
+            d_table, d_x = interp_bwd_fused(
+                x, g, feats, rows, scale=scale, nb=nb, n_rows=n_rows,
+                n_feat=F, compute_dtype=cdtype, accum_dtype=adt0)
+            return (d_table.astype(jnp.dtype(table_dtype_name)),
+                    d_x.astype(x.dtype))
         (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
         expand = jnp.asarray(_expand_np, cdtype)
         gout = jnp.dot(g.astype(cdtype), expand)           # [N, W]

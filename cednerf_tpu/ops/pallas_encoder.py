@@ -8,19 +8,31 @@ per-row loops measured 4-5x slower; v5e has no SparseCore) — but the lane
 weight/derivative passes plus fp32 converts as ~6 separate HBM round trips
 per level (~2.7 ms/level math + 0.8 ms residual copies, x8 levels).
 
-These kernels keep gather/scatter in XLA and fuse everything else:
+These kernels keep the row gathers in XLA and fuse everything else:
 
   * `interp_fwd(feats, x)`    — gathered brick rows -> interpolated [N, F]
                                 features for all levels in ONE kernel pass
-                                (lane weights built in-register, one MXU
-                                matmul per level against a one-hot selector).
+                                (lane weights compare-built in-register,
+                                log-depth corner reduction).
   * `interp_bwd(feats, x, g)` — recomputes the lane weights, emits the
                                 scatter-ready table update rows `upd` and the
                                 input-position gradient d_x in one pass; the
                                 caller scatters `upd` with XLA `.at[].add`.
+  * `interp_bwd_fused(...)`   — single-LEVEL backward that also owns the
+                                table-grad accumulation: lane math + a
+                                VMEM-resident accumulator in one kernel, so
+                                the [N, 64F] update rows never touch HBM
+                                (wired as BrickGridSpec.scatter_impl="fused").
 
-Both process every level of the encoder per sample tile, so the whole
-interpolation fwd/bwd is 2 kernel launches instead of ~50 XLA ops.
+The multi-level kernels collapse the interpolation fwd/bwd to 2 launches
+instead of ~50 XLA ops; the fused backward further removes the per-level
+XLA scatter (~2.7-4.4 ms each on v5e) and its upd materialization.
+
+All lane weights are compare-built at full row width ([T, 64F]) from a 2D
+iota — an earlier pltpu.repeat-based narrow->wide expansion was WRONG for
+n_features > 1 (tpu.repeat tiles whole blocks rather than repeating
+elements; caught by tests/test_pallas_encoder.py before any production
+wiring).
 
 Reference semantics: trilinear NGP interpolation + its two backward products
 (hash_encoder_half.py:137-227); storage layout and lane conventions are
@@ -52,43 +64,6 @@ def _lane_axis_index(axis: int, n_features: int, tile: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
     corner = lane // n_features
     return (corner // (BRICK_CORNERS ** (2 - axis))) % BRICK_CORNERS
-
-
-def _expand_axis_lanes(w4, axis: int, n_features: int):
-    """Expand a narrow [T, 4] per-axis weight to full lane width [T, 64F].
-
-    Lane layout: lane = ((cx*4 + cy)*4 + cz)*F + f, so along lanes the axis
-    weight repeats with period 64F/4^(axis+1) in blocks; built from ONE
-    pltpu.repeat (elementwise repeat along lanes) plus a tile-by-concat.
-    These are shuffle/copy ops — far cheaper than rebuilding compare masks
-    at full width (the VPU-bound cost of the v1 kernel).
-    """
-    rep = (BRICK_CORNERS ** (2 - axis)) * n_features
-    out = pltpu.repeat(w4, rep, axis=1) if rep > 1 else w4
-    n_tile = BRICK_CORNERS ** axis
-    if n_tile > 1:
-        out = jnp.concatenate([out] * n_tile, axis=1)
-    return out
-
-
-def _narrow_axis_weights(x_col, scale, nb, cdtype, tile: int, with_d: bool):
-    """[T, 4] hat-function interpolation weights for one axis (+ d/dfrac).
-
-    w(k) = clamp(1 - |k - u|, 0, 1) with u = intra + frac in [0, 3]:
-    equals (1-frac) at k = intra, frac at k = intra+1, else 0 — the
-    trilinear hat basis without any full-width compare masks.
-    dw(k) = d w(k) / d frac = +1 at k = intra+1, -1 at k = intra.
-    """
-    intra, frac, ok = _axis_geom(x_col, scale, nb)
-    u = intra.astype(jnp.float32) + frac                    # [T, 1]
-    k = jax.lax.broadcasted_iota(jnp.int32, (tile, BRICK_CORNERS), 1)
-    delta = k.astype(jnp.float32) - u                        # [T, 4]
-    w = jnp.clip(1.0 - jnp.abs(delta), 0.0, 1.0)
-    dw = None
-    if with_d:
-        inside = (jnp.abs(delta) < 1.0).astype(jnp.float32)
-        dw = (jnp.sign(delta) * inside).astype(cdtype)
-    return w.astype(cdtype), dw, ok
 
 
 def _reduce_corners(prod, n_features: int):
@@ -148,9 +123,16 @@ def _lane_weights(x_ref, scale, nb, lane_idx, cdtype, with_d: bool):
     return ws, (dws if with_d else None), jnp.concatenate(oks, axis=-1)
 
 
+def _default_interpret(interpret):
+    """Compile on TPU; interpret elsewhere (the CPU test mesh)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 @functools.lru_cache(maxsize=None)
 def _build_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
-               n: int, tile: int, dtype_name: str):
+               n: int, tile: int, dtype_name: str, interpret: bool = False):
     """interp forward kernel: L x [T, 64F] gathered rows -> [T, L*F]."""
     L = len(scales)
     F = n_feat
@@ -160,13 +142,10 @@ def _build_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
     def kernel(x_ref, *refs):
         feat_refs = refs[:L]
         out_ref = refs[L]
+        lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
         for lvl in range(L):
-            ws = []
-            for a in range(3):
-                w4, _, _ = _narrow_axis_weights(
-                    x_ref[:, a:a + 1], scales[lvl], nbs[lvl], cdtype, tile,
-                    False)
-                ws.append(_expand_axis_lanes(w4, a, F))
+            ws, _, _ = _lane_weights(x_ref[...], scales[lvl], nbs[lvl],
+                                     lane_idx, cdtype, False)
             lanes = ws[0] * ws[1] * ws[2]
             prod = feat_refs[lvl][...].astype(cdtype) * lanes
             out = _reduce_corners(prod.astype(jnp.float32), F)
@@ -189,6 +168,7 @@ def _build_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=jax.ShapeDtypeStruct((n, L * F), cdtype),
+            interpret=interpret,
         )(x, *feats_list)
 
     return run
@@ -196,7 +176,8 @@ def _build_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
-               n: int, tile: int, dtype_name: str, upd_dtype_name: str):
+               n: int, tile: int, dtype_name: str, upd_dtype_name: str,
+               interpret: bool = False):
     """interp backward kernel.
 
     (x [T,3], g [T, L*F], L x feats [T, W]) ->
@@ -212,16 +193,11 @@ def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
         feat_refs = refs[:L]
         upd_refs = refs[L:2 * L]
         dx_ref = refs[2 * L]
+        lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
         d_cols = []
         for lvl in range(L):
-            ws, dws, oks = [], [], []
-            for a in range(3):
-                w4, dw4, ok = _narrow_axis_weights(
-                    x_ref[:, a:a + 1], scales[lvl], nbs[lvl], cdtype, tile,
-                    True)
-                ws.append(_expand_axis_lanes(w4, a, F))
-                dws.append(_expand_axis_lanes(dw4, a, F))
-                oks.append(ok)
+            ws, dws, oks = _lane_weights(x_ref[...], scales[lvl], nbs[lvl],
+                                         lane_idx, cdtype, True)
             # gout[t, lane] = g[t, lvl*F + lane%F]: one tile-by-concat of the
             # [T, F] cotangent block (a [T,F]@[F,W] dot has contraction dim
             # 4, which the MXU wastes; masked builds cost ~3F full passes)
@@ -233,11 +209,11 @@ def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
             h = feat_refs[lvl][...].astype(cdtype) * gout
             sc = jnp.float32(scales[lvl])
             d0 = jnp.sum((h * (dws[0] * wyz)).astype(jnp.float32),
-                         axis=-1, keepdims=True) * oks[0] * sc
+                         axis=-1, keepdims=True) * oks[:, 0:1] * sc
             d1 = jnp.sum((h * (ws[0] * dws[1] * ws[2])).astype(jnp.float32),
-                         axis=-1, keepdims=True) * oks[1] * sc
+                         axis=-1, keepdims=True) * oks[:, 1:2] * sc
             d2 = jnp.sum((h * (ws[0] * ws[1] * dws[2])).astype(jnp.float32),
-                         axis=-1, keepdims=True) * oks[2] * sc
+                         axis=-1, keepdims=True) * oks[:, 2:3] * sc
             d_cols.append((d0, d1, d2))
         for a in range(3):
             acc = d_cols[0][a]
@@ -269,6 +245,7 @@ def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            interpret=interpret,
         )(x, g, *feats_list)
         return list(outs[:L]), outs[L]
 
@@ -277,7 +254,7 @@ def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
 
 def interp_fwd(x, feats_list: Sequence[jnp.ndarray],
                scales: Sequence[float], nbs: Sequence[int], n_feat: int,
-               compute_dtype=jnp.bfloat16, tile: int = 512):
+               compute_dtype=jnp.bfloat16, tile: int = 512, interpret=None):
     """All-level trilinear interpolation of gathered brick rows.
 
     x: [N, 3] unit-cube positions; feats_list: per-level gathered rows
@@ -286,14 +263,15 @@ def interp_fwd(x, feats_list: Sequence[jnp.ndarray],
     n = x.shape[0]
     assert n % tile == 0, (n, tile)
     run = _build_fwd(tuple(float(s) for s in scales), tuple(nbs), n_feat, n,
-                     tile, jnp.dtype(compute_dtype).name)
+                     tile, jnp.dtype(compute_dtype).name,
+                     _default_interpret(interpret))
     return run(x.astype(jnp.float32), list(feats_list))
 
 
 def interp_bwd(x, g, feats_list: Sequence[jnp.ndarray],
                scales: Sequence[float], nbs: Sequence[int], n_feat: int,
                compute_dtype=jnp.bfloat16, upd_dtype=jnp.float32,
-               tile: int = 256):
+               tile: int = 256, interpret=None):
     # tile=256: at L=8/F=4 the live set (8 bf16 feat blocks + 8 f32 upd
     # blocks, double-buffered) exceeds v5e VMEM at tile=512 (Mosaic OOM)
     """Backward of `interp_fwd`: per-level scatter rows + position gradient.
@@ -305,5 +283,129 @@ def interp_bwd(x, g, feats_list: Sequence[jnp.ndarray],
     assert n % tile == 0, (n, tile)
     run = _build_bwd(tuple(float(s) for s in scales), tuple(nbs), n_feat, n,
                      tile, jnp.dtype(compute_dtype).name,
-                     jnp.dtype(upd_dtype).name)
+                     jnp.dtype(upd_dtype).name, _default_interpret(interpret))
     return run(x.astype(jnp.float32), g, list(feats_list))
+
+
+# --------------------------------------------------------------------- #
+# Fully fused single-level backward: lane math + VMEM-resident table-grad
+# accumulator in ONE kernel. Replaces (per level) the XLA lane-math passes
+# + [N, 64F] upd materialization + XLA scatter-add with a single pass that
+# never writes the update rows to HBM: the accumulator lives in VMEM
+# scratch across a sequential sample-tile grid (pallas_scatter.py's
+# pattern) and the scatter rows are produced and consumed in-register.
+# This is the TPU-native analogue of the reference Taichi backward's fused
+# weight-recompute + atomic table accumulation (hash_encoder_half.py:
+# 164-227); collisions are free because the grid is sequential per core.
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
+                     n: int, tile: int, unroll: int, dtype_name: str,
+                     accum_dtype_name: str, interpret: bool = False):
+    """(x [T,3], g [T,F], feats [T,W], rows [T]) -> (d_table, d_x)."""
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+    cdtype = jnp.dtype(dtype_name)
+    adt = jnp.dtype(accum_dtype_name)
+
+    def kernel(rows_ref, x_ref, g_ref, feat_ref, out_ref, dx_ref,
+               acc_ref, upd_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
+        ws, dws, oks = _lane_weights(x_ref[...], scale, nb, lane_idx,
+                                     cdtype, True)
+        # gout[t, c*F + f] = g[t, f]
+        g_t = g_ref[...].astype(cdtype)
+        gout = jnp.concatenate([g_t] * CORNERS_PER_BRICK, axis=1)
+        wyz = ws[1] * ws[2]
+        lanes = ws[0] * wyz
+        upd_ref[...] = (lanes * gout).astype(adt)
+
+        h = feat_ref[...].astype(cdtype) * gout
+        sc = jnp.float32(scale)
+        d0 = jnp.sum((h * (dws[0] * wyz)).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 0:1] * sc
+        d1 = jnp.sum((h * (ws[0] * dws[1] * ws[2])).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 1:2] * sc
+        d2 = jnp.sum((h * (ws[0] * ws[1] * dws[2])).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 2:3] * sc
+        dx_ref[...] = jnp.concatenate([d0, d1, d2], axis=1)
+
+        def body(j, _):
+            # strided unroll: consecutive rows are ray-coherent (often the
+            # same brick); strided ones rarely collide, giving Mosaic
+            # independent RMW chains to overlap
+            for u in range(unroll):
+                r = rows_ref[j + u * (tile // unroll)]
+                acc_ref[pl.ds(r, 1), :] += upd_ref[
+                    pl.ds(j + u * (tile // unroll), 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, tile // unroll, body, 0)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    grid = (n // tile,)
+
+    def run(rows, x, g, feats):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, F), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((n_rows, W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_rows, W), adt),
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, W), adt),
+                pltpu.VMEM((tile, W), adt),
+            ],
+            interpret=interpret,
+        )(rows.astype(jnp.int32), x, g, feats)
+
+    return run
+
+
+def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
+                     n_rows: int, n_feat: int,
+                     compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32,
+                     tile: int = 1024, unroll: int = 8, interpret=None):
+    """Single-level fused encoder backward.
+
+    x: [N,3] unit-cube positions; g: [N,F] cotangent; feats: [N,64F]
+    gathered brick rows (forward residuals); rows: [N] gather indices.
+    Returns (d_table [n_rows, 64F] in accum_dtype, d_x [N,3] f32 —
+    already scaled and edge-gated).
+    """
+    n = x.shape[0]
+    assert n % tile == 0, (n, tile)
+    run = _build_bwd_fused(float(scale), int(nb), int(n_rows), n_feat, n,
+                           tile, unroll, jnp.dtype(compute_dtype).name,
+                           jnp.dtype(accum_dtype).name,
+                           _default_interpret(interpret))
+    return run(rows, x.astype(jnp.float32),
+               g.astype(jnp.dtype(compute_dtype)), feats)
