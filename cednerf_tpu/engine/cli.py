@@ -92,4 +92,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         grid_type=flags.grid_type,
         grad_accum_dtype=cfg.grad_accum_dtype,
         scatter_impl=cfg.scatter_impl,
+        interp_impl=cfg.interp_impl,
     )

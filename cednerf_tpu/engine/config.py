@@ -68,6 +68,10 @@ class SceneConfig:
     # ops/pallas_encoder.py interp_bwd_fused; pending v5e A/B via
     # tools/profile_pallas_scatter.py / profile_step.py)
     scatter_impl: str = "xla"
+    # encoder interpolation impl: "xla" | "pallas" (all-levels forward lane
+    # math in one Pallas kernel + per-level fused backward kernels; see
+    # ops/brick_grid.py interp_impl)
+    interp_impl: str = "xla"
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no
     # [R*M, C] scatter-back or [R, M] composite arrays in the train program

@@ -105,6 +105,7 @@ class HashGridEncoder(nn.Module):
                 time_keyframes=self.spec.time_keyframes,
                 grad_accum_dtype=self.spec.grad_accum_dtype,
                 scatter_impl=self.spec.scatter_impl,
+                interp_impl=self.spec.interp_impl,
             )
             params = {
                 name: self.param(
@@ -207,6 +208,7 @@ class DNGPRadianceField(nn.Module):
     encoder_impl: str = "brick"  # hot-path layout: "brick" (TPU-first) or "gather"
     grad_accum_dtype: str = "float32"  # encoder table-grad accumulator
     scatter_impl: str = "xla"  # encoder table-grad scatter (see BrickGridSpec)
+    interp_impl: str = "xla"  # encoder interpolation impl (see BrickGridSpec)
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -219,6 +221,7 @@ class DNGPRadianceField(nn.Module):
             time_keyframes=self.time_keyframes if self.grid_type == "hash4d" else 0,
             grad_accum_dtype=self.grad_accum_dtype,
             scatter_impl=self.scatter_impl,
+            interp_impl=self.interp_impl,
         )
 
     @property

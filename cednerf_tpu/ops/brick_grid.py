@@ -90,6 +90,12 @@ class BrickGridSpec:
     # (onehot for tables <= 1024 rows, pallas otherwise). Non-xla impls
     # fall back when their shape preconditions fail (see _scatter_rows).
     scatter_impl: str = "xla"
+    # interpolation implementation: "xla" (per-level lane math fused by the
+    # XLA compiler) or "pallas" (all levels' forward lane math in ONE
+    # Pallas kernel, ops/pallas_encoder.py interp_fwd, with the per-level
+    # fused backward kernels for the table grads; 3D specs only, falls
+    # back to "xla" when shape preconditions fail)
+    interp_impl: str = "xla"
 
     @property
     def log_b(self) -> float:
@@ -706,6 +712,70 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
 
 
 @functools.lru_cache(maxsize=None)
+def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
+                        dtype_name: str, table_dtype_name: str,
+                        accum_dtype_name: str):
+    """Analytic custom-VJP multi-level encode on the Pallas kernels.
+
+    Forward: per-level XLA row gathers (the best row primitive on v5e)
+    feeding ONE all-levels interpolation kernel (pallas_encoder.interp_fwd).
+    Backward: one fused kernel per level (interp_bwd_fused) — lane math +
+    VMEM-resident table-grad accumulator, no [N, 64F] update rows in HBM
+    and no XLA scatters. Same math as the per-level XLA path
+    (gated by tests/test_pallas_encoder.py).
+    """
+    from . import pallas_encoder as pe
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    L = len(scales)
+
+    def fwd_impl(tables, x):
+        feats, rows_l = [], []
+        for lvl in range(L):
+            rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
+                                        hasheds[lvl], rows_n[lvl])
+            feats.append(jnp.take(tables[lvl].astype(cdtype), rows, axis=0))
+            rows_l.append(rows)
+        out = pe.interp_fwd(x, feats, scales, nbs, F, compute_dtype=cdtype)
+        return out, tuple(feats), tuple(rows_l)
+
+    @jax.custom_vjp
+    def enc(tables, x):
+        return fwd_impl(tables, x)[0]
+
+    def fwd(tables, x):
+        out, feats, rows_l = fwd_impl(tables, x)
+        return out, (x, feats, rows_l)
+
+    def bwd(res, g):
+        x, feats, rows_l = res
+        adt = jnp.dtype(accum_dtype_name)
+        tdt = jnp.dtype(table_dtype_name)
+        d_tables, d_x = [], jnp.zeros((), jnp.float32)
+        for lvl in range(L):
+            dt, dx = pe.interp_bwd_fused(
+                x, g[:, lvl * F:(lvl + 1) * F], feats[lvl], rows_l[lvl],
+                scale=scales[lvl], nb=nbs[lvl], n_rows=rows_n[lvl],
+                n_feat=F, compute_dtype=cdtype, accum_dtype=adt)
+            d_tables.append(dt.astype(tdt))
+            d_x = d_x + dx
+        return tuple(d_tables), d_x.astype(x.dtype)
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
+def _pallas_route_ok(spec: BrickGridSpec, n: int, layouts) -> bool:
+    """interp_impl='pallas' preconditions: 3D, tile-divisible batch, every
+    level's grad accumulator VMEM-resident."""
+    if spec.time_keyframes or n % 1024 != 0:
+        return False
+    itemsize = jnp.dtype(spec.grad_accum_dtype).itemsize
+    return all(lay["rows"] * spec.row_width * itemsize <= 12 * 2 ** 20
+               for lay in layouts)
+
+
+@functools.lru_cache(maxsize=None)
 def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                           n_feat: int, keyframes: int, dtype_name: str,
                           table_dtype_name: str = "float32",
@@ -831,6 +901,23 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     f = spec.n_features
     k = spec.keyframes
     layouts = spec.level_layout()
+
+    if (use_custom_vjp and spec.interp_impl == "pallas"
+            and _pallas_route_ok(spec, n, layouts)):
+        tables = tuple(
+            params[f"bricks_{lvl}"] if lay["hashed"]
+            else _materialize_dense_bricks(params[f"grid_{lvl}"],
+                                           lay["n_bricks_axis"])
+            for lvl, lay in enumerate(layouts))
+        enc = _make_pallas_encode(
+            tuple(float(level_scale(l, spec.log_b, spec.base_res))
+                  for l in range(spec.n_levels)),
+            tuple(lay["n_bricks_axis"] for lay in layouts),
+            tuple(bool(lay["hashed"]) for lay in layouts),
+            tuple(lay["rows"] for lay in layouts), f,
+            jnp.dtype(compute_dtype).name, tables[0].dtype.name,
+            spec.grad_accum_dtype)
+        return enc(tables, x)
 
     if spec.time_keyframes:
         t_scaled = t.reshape(n) * (k - 1)

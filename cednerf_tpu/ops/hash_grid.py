@@ -70,6 +70,7 @@ class HashGridSpec:
     grad_accum_dtype: str = "float32"
     # brick-impl table-gradient scatter implementation (see BrickGridSpec)
     scatter_impl: str = "xla"
+    interp_impl: str = "xla"
 
     @property
     def log_b(self) -> float:

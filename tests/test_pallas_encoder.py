@@ -148,3 +148,33 @@ def test_brick_encode_fused_scatter_grad_equality():
                                    rtol=1e-3, atol=3e-4, err_msg=k)
     np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gf[1]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_brick_encode_interp_pallas_grad_equality():
+    """brick_encode interp_impl='pallas' == 'xla': outputs and all grads."""
+    mk = lambda impl: bg.BrickGridSpec(
+        n_levels=4, n_features=F, base_res=16, max_res=128,
+        log2_hashmap_size=14, max_table_rows=2048,
+        grad_accum_dtype="float32", interp_impl=impl)
+    params = mk("xla").init_params(jr.PRNGKey(0))
+    x = jr.uniform(jr.PRNGKey(1), (1024, 3))
+
+    def loss(spec):
+        def f(p, xx):
+            out = bg.brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(jnp.sin(out * 100.0)), out
+        return f
+
+    (vx, ox), gx = jax.value_and_grad(loss(mk("xla")), argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    (vp, op), gp = jax.value_and_grad(loss(mk("pallas")), argnums=(0, 1),
+                                      has_aux=True)(params, x)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-5)
+    for k in gx[0]:
+        np.testing.assert_allclose(np.asarray(gx[0][k]),
+                                   np.asarray(gp[0][k]),
+                                   rtol=1e-3, atol=3e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(gx[1]), np.asarray(gp[1]),
+                               rtol=1e-3, atol=1e-5)
