@@ -39,6 +39,12 @@ def main():
                     help="override log2_hashmap_size (e.g. 21 = reference)")
     ap.add_argument("--grad_accum", choices=("bfloat16", "float32"),
                     default=None, help="override encoder grad accumulator")
+    ap.add_argument("--budget", type=int, default=0,
+                    help="override target_sample_batch_size (quality gate "
+                         "for per-step budget scaling)")
+    ap.add_argument("--scatter_impl", default=None,
+                    choices=("xla", "pallas", "onehot", "auto", "fused"))
+    ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -67,6 +73,12 @@ def main():
         cfg = dataclasses.replace(cfg, log2_hashmap_size=args.log2)
     if args.grad_accum:
         cfg = dataclasses.replace(cfg, grad_accum_dtype=args.grad_accum)
+    if args.budget:
+        cfg = dataclasses.replace(cfg, target_sample_batch_size=args.budget)
+    if args.scatter_impl:
+        cfg = dataclasses.replace(cfg, scatter_impl=args.scatter_impl)
+    if args.interp_impl:
+        cfg = dataclasses.replace(cfg, interp_impl=args.interp_impl)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
@@ -116,6 +128,9 @@ def main():
         "impl": args.impl,
         "log2": args.log2 or cfg.log2_hashmap_size,
         "grad_accum": cfg.grad_accum_dtype,
+        "budget": cfg.target_sample_batch_size,
+        "scatter_impl": cfg.scatter_impl,
+        "interp_impl": cfg.interp_impl,
         "train_seconds": round(train_s, 1),
         "final_train_psnr": round(history[-1][1], 2) if history else None,
         "train_view_psnr": round(train_view_psnr, 2),
