@@ -49,7 +49,30 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--hash_features", type=int, default=None,
                         help="override features per level (preset default 4; "
                              "reference parity: 2)")
+    parser.add_argument("--sample_budget", type=int, default=None,
+                        help="override target_sample_batch_size (per-step "
+                             "valid-sample budget; preset default 2^18)")
+    parser.add_argument("--scatter_impl", type=str, default=None,
+                        choices=["xla", "pallas", "onehot", "auto", "fused"],
+                        help="encoder table-grad scatter impl "
+                             "(engine/config.py)")
+    parser.add_argument("--interp_impl", type=str, default=None,
+                        choices=["xla", "pallas"],
+                        help="encoder interpolation impl (engine/config.py)")
     return parser
+
+
+def apply_perf_overrides(cfg, args):
+    """Apply the optional perf-knob CLI overrides to a SceneConfig."""
+    import dataclasses
+    upd = {}
+    if getattr(args, "sample_budget", None):
+        upd["target_sample_batch_size"] = args.sample_budget
+    if getattr(args, "scatter_impl", None):
+        upd["scatter_impl"] = args.scatter_impl
+    if getattr(args, "interp_impl", None):
+        upd["interp_impl"] = args.interp_impl
+    return dataclasses.replace(cfg, **upd) if upd else cfg
 
 
 def flags_from_args(args) -> ModelFlags:

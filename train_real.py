@@ -17,7 +17,8 @@ from cednerf_tpu.datasets import (
     DYNERF_SCENES,
     HYPERNERF_SCENES,
 )
-from cednerf_tpu.engine.cli import build_field, flags_from_args, get_model_args
+from cednerf_tpu.engine.cli import (apply_perf_overrides, build_field,
+                                    flags_from_args, get_model_args)
 from cednerf_tpu.engine.config import config_for_scene
 
 
@@ -85,6 +86,7 @@ def main():
             hash_n_levels=args.hash_levels or cfg.hash_n_levels,
             hash_n_features=args.hash_features or cfg.hash_n_features,
         )
+    cfg = apply_perf_overrides(cfg, args)
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
 
