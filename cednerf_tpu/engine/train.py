@@ -315,7 +315,9 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
         use_seg=not warmup_phase,
     )
 
-    @jax.jit
+    # donate the state: params + Adam moments (~300 MB at real table sizes)
+    # update in place instead of allocating fresh outputs per dispatch
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_loop(state: TrainState, data, timestamps_pool, key, step0):
         def body(carry, i):
             state = carry
