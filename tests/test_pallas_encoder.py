@@ -150,6 +150,31 @@ def test_brick_encode_fused_scatter_grad_equality():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_flagship_spec_takes_pallas_route():
+    """The production L8F4 spec (16384-row cap, bf16 accum) must satisfy
+    the pallas-route preconditions, and the fused bwd must run at a
+    16384-row hashed level."""
+    spec = bg.BrickGridSpec(
+        n_levels=8, n_features=4, base_res=16, max_res=4096,
+        log2_hashmap_size=19, max_table_rows=16384,
+        grad_accum_dtype="bfloat16", interp_impl="pallas")
+    layouts = spec.level_layout()
+    assert bg._pallas_route_ok(spec, 2048, layouts)
+    lvl = next(i for i, lay in enumerate(layouts) if lay["rows"] == 16384)
+    scale = bg.level_scale(lvl, spec.log_b, spec.base_res)
+    x = jr.uniform(jr.PRNGKey(0), (2048, 3))
+    rows, _, _, _ = bg._level_geom(x, scale, layouts[lvl]["n_bricks_axis"],
+                                   True, 16384)
+    feats = jr.normal(jr.PRNGKey(1), (2048, 256), jnp.bfloat16)
+    g = jr.normal(jr.PRNGKey(2), (2048, 4), jnp.bfloat16)
+    dt, dx = pe.interp_bwd_fused(
+        x, g, feats, rows, scale=scale, nb=layouts[lvl]["n_bricks_axis"],
+        n_rows=16384, n_feat=4, compute_dtype=jnp.bfloat16,
+        accum_dtype=jnp.bfloat16)
+    assert dt.shape == (16384, 256) and dt.dtype == jnp.bfloat16
+    assert dx.shape == (2048, 3) and bool(jnp.all(jnp.isfinite(dx)))
+
+
 def test_brick_encode_interp_pallas_grad_equality():
     """brick_encode interp_impl='pallas' == 'xla': outputs and all grads."""
     mk = lambda impl: bg.BrickGridSpec(
