@@ -59,6 +59,11 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--interp_impl", type=str, default=None,
                         choices=["xla", "pallas"],
                         help="encoder interpolation impl (engine/config.py)")
+    parser.add_argument("--max_table_rows", type=int, default=None,
+                        help="brick-encoder per-level table-row cap "
+                             "(default 16384 = 2^20 corner slots/level; "
+                             "raise with --scatter_impl xla for less hash "
+                             "aliasing at fine levels)")
     return parser
 
 
@@ -72,6 +77,8 @@ def apply_perf_overrides(cfg, args):
         upd["scatter_impl"] = args.scatter_impl
     if getattr(args, "interp_impl", None):
         upd["interp_impl"] = args.interp_impl
+    if getattr(args, "max_table_rows", None):
+        upd["max_table_rows"] = args.max_table_rows
     return dataclasses.replace(cfg, **upd) if upd else cfg
 
 
@@ -116,4 +123,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         grad_accum_dtype=cfg.grad_accum_dtype,
         scatter_impl=cfg.scatter_impl,
         interp_impl=cfg.interp_impl,
+        max_table_rows=cfg.max_table_rows,
     )

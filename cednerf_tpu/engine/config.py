@@ -72,6 +72,10 @@ class SceneConfig:
     # math in one Pallas kernel + per-level fused backward kernels; see
     # ops/brick_grid.py interp_impl)
     interp_impl: str = "xla"
+    # brick-encoder per-level table-row cap; 16384 rows (8 MB fp32) keeps
+    # tables + Pallas grad accumulators VMEM-resident. Larger caps (more
+    # corner slots, less hash aliasing) are valid with scatter_impl="xla".
+    max_table_rows: int = 16384
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no
     # [R*M, C] scatter-back or [R, M] composite arrays in the train program

@@ -106,6 +106,7 @@ class HashGridEncoder(nn.Module):
                 grad_accum_dtype=self.spec.grad_accum_dtype,
                 scatter_impl=self.spec.scatter_impl,
                 interp_impl=self.spec.interp_impl,
+                max_table_rows=self.spec.max_table_rows,
             )
             params = {
                 name: self.param(
@@ -209,6 +210,7 @@ class DNGPRadianceField(nn.Module):
     grad_accum_dtype: str = "float32"  # encoder table-grad accumulator
     scatter_impl: str = "xla"  # encoder table-grad scatter (see BrickGridSpec)
     interp_impl: str = "xla"  # encoder interpolation impl (see BrickGridSpec)
+    max_table_rows: int = 16384  # brick-impl per-level table cap (rows)
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -222,6 +224,7 @@ class DNGPRadianceField(nn.Module):
             grad_accum_dtype=self.grad_accum_dtype,
             scatter_impl=self.scatter_impl,
             interp_impl=self.interp_impl,
+            max_table_rows=self.max_table_rows,
         )
 
     @property

@@ -71,6 +71,8 @@ class HashGridSpec:
     # brick-impl table-gradient scatter implementation (see BrickGridSpec)
     scatter_impl: str = "xla"
     interp_impl: str = "xla"
+    # brick-impl per-level table-row cap (see BrickGridSpec.max_table_rows)
+    max_table_rows: int = 16384
 
     @property
     def log_b(self) -> float:

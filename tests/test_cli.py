@@ -17,17 +17,28 @@ def _parse(argv):
 
 def test_perf_overrides_reach_field_spec():
     args = _parse(["-te", "-ta", "-f", "--sample_budget", "524288",
-                   "--scatter_impl", "fused", "--interp_impl", "pallas"])
+                   "--scatter_impl", "fused", "--interp_impl", "pallas",
+                   "--max_table_rows", "32768"])
     cfg = apply_perf_overrides(dnerf_config(max_steps=100), args)
     assert cfg.target_sample_batch_size == 524288
     assert cfg.scatter_impl == "fused"
     assert cfg.interp_impl == "pallas"
+    assert cfg.max_table_rows == 32768
     field = build_field(cfg, flags_from_args(args))
     assert field.scatter_impl == "fused"
     assert field.interp_impl == "pallas"
     bspec = field.hash_spec
     assert bspec.scatter_impl == "fused"
     assert bspec.interp_impl == "pallas"
+    assert bspec.max_table_rows == 32768
+    # a 32768-row bf16 accumulator exceeds VMEM: the pallas route must
+    # decline and fall back to the XLA path rather than Mosaic-OOM
+    from cednerf_tpu.ops import brick_grid as bg
+    bspec2 = bg.BrickGridSpec(
+        n_levels=8, n_features=4, base_res=16, max_res=4096,
+        log2_hashmap_size=21, max_table_rows=32768,
+        grad_accum_dtype="bfloat16", interp_impl="pallas")
+    assert not bg._pallas_route_ok(bspec2, 2048, bspec2.level_layout())
 
 
 def test_perf_overrides_default_noop():
