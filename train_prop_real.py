@@ -17,7 +17,8 @@ from cednerf_tpu.datasets import (
     DYNERF_SCENES,
     HYPERNERF_SCENES,
 )
-from cednerf_tpu.engine.cli import build_field, flags_from_args, get_model_args
+from cednerf_tpu.engine.cli import (apply_perf_overrides, build_field,
+                                    flags_from_args, get_model_args)
 from cednerf_tpu.engine.config import config_for_scene
 
 
@@ -68,6 +69,7 @@ def main():
         )
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
+    cfg = apply_perf_overrides(cfg, args)
     pcfg = PropConfig.for_family(cfg.family)
     props = build_prop_networks(cfg, pcfg)
 
