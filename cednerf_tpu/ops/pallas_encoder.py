@@ -202,7 +202,8 @@ def _build_bwd(scales: Tuple[float, ...], nbs: Tuple[int, ...], n_feat: int,
             # [T, F] cotangent block (a [T,F]@[F,W] dot has contraction dim
             # 4, which the MXU wastes; masked builds cost ~3F full passes)
             g_lvl = g_ref[:, lvl * F:(lvl + 1) * F].astype(cdtype)
-            gout = jnp.concatenate([g_lvl] * CORNERS_PER_BRICK, axis=1)
+            # tile-repeat IS the wanted expansion: gout[t, c*F+f] = g[t, f]
+            gout = pltpu.repeat(g_lvl, CORNERS_PER_BRICK, axis=1)
             wyz = ws[1] * ws[2]
             lanes = ws[0] * wyz
             upd_refs[lvl][...] = (lanes * gout).astype(upd_dtype)
@@ -323,7 +324,8 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
                                      cdtype, True)
         # gout[t, c*F + f] = g[t, f]
         g_t = g_ref[...].astype(cdtype)
-        gout = jnp.concatenate([g_t] * CORNERS_PER_BRICK, axis=1)
+        # tile-repeat IS the wanted expansion: gout[t, c*F+f] = g[t, f]
+        gout = pltpu.repeat(g_t, CORNERS_PER_BRICK, axis=1)
         wyz = ws[1] * ws[2]
         lanes = ws[0] * wyz
         upd_ref[...] = (lanes * gout).astype(adt)

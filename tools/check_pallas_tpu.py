@@ -1,0 +1,67 @@
+"""On-chip numerical check of the Pallas encoder kernels vs the XLA path.
+
+The interpret-mode tests (tests/test_pallas_encoder.py) validate kernel
+MATH, but not Mosaic's actual lowering semantics (tpu.repeat tiling, SMEM
+dynamic-index RMW). Run this on the real chip BEFORE trusting any
+fused-impl benchmark or quality run.
+
+Usage: python tools/check_pallas_tpu.py [N]
+Prints max deviations; exits nonzero on failure.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from cednerf_tpu.ops import brick_grid as bg
+    from cednerf_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    mk = lambda impl, scat: bg.BrickGridSpec(
+        n_levels=8, n_features=4, base_res=16, max_res=4096,
+        log2_hashmap_size=19, max_table_rows=16384,
+        grad_accum_dtype="bfloat16", interp_impl=impl, scatter_impl=scat)
+    params = mk("xla", "xla").init_params(jr.PRNGKey(0))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    x = jr.uniform(jr.PRNGKey(1), (n, 3))
+
+    def loss(spec):
+        def f(p, xx):
+            out = bg.brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(jnp.sin(out * 100.0))
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+
+    vx, gx = loss(mk("xla", "xla"))(params, x)
+    ok = True
+    for impl, scat in (("xla", "pallas"), ("xla", "fused"),
+                       ("pallas", "xla")):
+        v, g = loss(mk(impl, scat))(params, x)
+        dv = abs(float(v) - float(vx)) / max(abs(float(vx)), 1e-9)
+        dmax = 0.0
+        for k in gx[0]:
+            ref = np.asarray(gx[0][k], np.float32)
+            got = np.asarray(g[0][k], np.float32)
+            scale = max(float(np.abs(ref).max()), 1e-9)
+            dmax = max(dmax, float(np.abs(got - ref).max()) / scale)
+        dxe = float(np.abs(np.asarray(g[1]) - np.asarray(gx[1])).max())
+        dxs = max(float(np.abs(np.asarray(gx[1])).max()), 1e-9)
+        # bf16 accumulators: XLA scatter vs sequential VMEM accumulate
+        # round collision sums in different orders — tolerance covers it
+        line_ok = dv < 1e-4 and dmax < 5e-2 and dxe / dxs < 5e-3
+        ok &= line_ok
+        print(f"interp={impl:7s} scatter={scat:7s} dloss={dv:.2e} "
+              f"dtable(rel)={dmax:.2e} dx(rel)={dxe / dxs:.2e} "
+              f"{'OK' if line_ok else 'FAIL'}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
