@@ -258,16 +258,18 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
 
 
 def make_train_step(field, cfg: SceneConfig, flags: ModelFlags,
-                    budget: Optional[int] = None, s_cap: int = 0):
+                    budget: Optional[int] = None, s_cap: int = 0,
+                    use_seg: bool = False):
     """Jitted single train step (see _make_one_step for the batch contract).
 
     s_cap: steady-state per-ray candidate cap (0 = uncapped; see
     _make_one_step). The Trainer's scanned loop applies cfg.steady_s_cap
     automatically; this standalone step stays uncapped by default so it is
-    safe in any phase."""
+    safe in any phase. use_seg routes marching through the two-stage
+    segment path (steady-state only; see _make_one_step)."""
     tx = make_optimizer(cfg)
     one_step = _make_one_step(field, cfg, flags, budget or cfg.sample_budget,
-                              tx, s_cap=s_cap)
+                              tx, s_cap=s_cap, use_seg=use_seg)
 
     @jax.jit
     def train_step(state: TrainState, batch, key):

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--impls", default="xla,pallas,fused")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warm_steps", type=int, default=320)
+    ap.add_argument("--march_seg", type=int, default=-1,
+                    help="-1 sweeps {0, 8}; otherwise fixes the segment "
+                         "length (0 = dense lattice)")
     args = ap.parse_args()
 
     from synthetic_scene import BallCloudScene
@@ -70,28 +73,34 @@ def main():
         batch = jax.jit(lambda d, k: sample_fn(d, k, r),
                         static_argnums=())(data, key)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        segs = (0, 8) if args.march_seg < 0 else (args.march_seg,)
         for impl in args.impls.split(","):
-            cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl)
-            field_i = build_field(cfg_i, flags)
-            step_fn = make_train_step(field_i, cfg_i, flags)
-            try:
-                t_c0 = time.perf_counter()
-                out = step_fn(state, batch, key)
-                nsamp = float(out[1]["n_samples"])
-                compile_s = time.perf_counter() - t_c0
-                # settle one extra call before timing
-                float(step_fn(state, batch, key)[1]["loss"])
-                t0 = time.perf_counter()
-                for _ in range(args.iters):
+            for seg in segs:
+                cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl,
+                                            march_seg=seg)
+                field_i = build_field(cfg_i, flags)
+                step_fn = make_train_step(field_i, cfg_i, flags,
+                                          use_seg=seg > 0)
+                try:
+                    t_c0 = time.perf_counter()
                     out = step_fn(state, batch, key)
-                float(out[1]["loss"])
-                dt = (time.perf_counter() - t0) / args.iters
-                print(f"budget={budget:8d} R={r:6d} impl={impl:7s} "
-                      f"{dt * 1e3:8.2f} ms  {nsamp / dt / 1e6:6.2f} "
-                      f"Msamples/s  (compile {compile_s:.0f}s)", flush=True)
-            except Exception as e:
-                print(f"budget={budget:8d} impl={impl:7s} FAILED "
-                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                    nsamp = float(out[1]["n_samples"])
+                    compile_s = time.perf_counter() - t_c0
+                    # settle one extra call before timing
+                    float(step_fn(state, batch, key)[1]["loss"])
+                    t0 = time.perf_counter()
+                    for _ in range(args.iters):
+                        out = step_fn(state, batch, key)
+                    float(out[1]["loss"])
+                    dt = (time.perf_counter() - t0) / args.iters
+                    print(f"budget={budget:8d} R={r:6d} impl={impl:7s} "
+                          f"seg={seg} {dt * 1e3:8.2f} ms  "
+                          f"{nsamp / dt / 1e6:6.2f} Msamples/s  "
+                          f"(compile {compile_s:.0f}s)", flush=True)
+                except Exception as e:
+                    print(f"budget={budget:8d} impl={impl:7s} seg={seg} "
+                          f"FAILED {type(e).__name__}: {str(e)[:160]}",
+                          flush=True)
 
 
 if __name__ == "__main__":
