@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--impls", default="xla,pallas,fused")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warm_steps", type=int, default=320)
+    ap.add_argument("--interp", default="xla", choices=("xla", "pallas"),
+                    help="encoder interpolation impl for all arms")
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="-1 sweeps {0, 8}; otherwise fixes the segment "
                          "length (0 = dense lattice)")
@@ -77,6 +79,7 @@ def main():
         for impl in args.impls.split(","):
             for seg in segs:
                 cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl,
+                                            interp_impl=args.interp,
                                             march_seg=seg)
                 field_i = build_field(cfg_i, flags)
                 step_fn = make_train_step(field_i, cfg_i, flags,
