@@ -59,6 +59,9 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--interp_impl", type=str, default=None,
                         choices=["xla", "pallas"],
                         help="encoder interpolation impl (engine/config.py)")
+    parser.add_argument("--compact_impl", type=str, default=None,
+                        choices=["xla", "pallas"],
+                        help="budget-compaction impl (engine/config.py)")
     parser.add_argument("--max_table_rows", type=int, default=None,
                         help="brick-encoder per-level table-row cap "
                              "(default 16384 = 2^20 corner slots/level; "
@@ -79,6 +82,8 @@ def apply_perf_overrides(cfg, args):
         upd["interp_impl"] = args.interp_impl
     if getattr(args, "max_table_rows", None):
         upd["max_table_rows"] = args.max_table_rows
+    if getattr(args, "compact_impl", None):
+        upd["compact_impl"] = args.compact_impl
     return dataclasses.replace(cfg, **upd) if upd else cfg
 
 

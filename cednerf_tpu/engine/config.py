@@ -76,6 +76,10 @@ class SceneConfig:
     # tables + Pallas grad accumulators VMEM-resident. Larger caps (more
     # corner slots, less hash aliasing) are valid with scatter_impl="xla".
     max_table_rows: int = 16384
+    # budget-compaction impl: "xla" (cumsum + unique-index scatter) or
+    # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
+    # bit-compatible, single-block only — falls back otherwise)
+    compact_impl: str = "xla"
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no
     # [R*M, C] scatter-back or [R, M] composite arrays in the train program

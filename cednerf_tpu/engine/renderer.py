@@ -98,6 +98,22 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
     return sel, write_b.reshape(r, m), rank_b.reshape(r, m)
 
 
+def _compact_sel_kept(valid, budget: int, n_blocks: int, impl: str):
+    """compact_select minus the `rank` output, dispatched by impl.
+
+    "pallas" runs the single-pass MXU compaction (ops/pallas_compact.py)
+    when its preconditions hold (single block, lattice < 2^24); it is
+    bit-compatible with the XLA path.
+    """
+    if impl == "pallas" and n_blocks == 1 and budget <= (2 << 20):
+        r, m = valid.shape
+        if r * m < (1 << 24):
+            from ..ops.pallas_compact import compact_select_pallas
+            return compact_select_pallas(valid, budget)
+    sel, kept, _ = compact_select(valid, budget, n_blocks=n_blocks)
+    return sel, kept
+
+
 # NOTE(perf): a scatter-free "gather by rank" expansion of the compacted
 # results back to the lattice (dense[i] = packed[cumsum(kept)-1], custom VJP
 # gathering by sel) was tried and measured SLOWER end-to-end (+22 ms/step):
@@ -296,6 +312,7 @@ def pack_budget_samples(
     budget: int,
     n_blocks: int = 1,
     ray_complete: Optional[jnp.ndarray] = None,
+    compact_impl: str = "xla",
 ) -> PackedSamples:
     """Cross-ray compaction of a dense candidate lattice into PackedSamples.
 
@@ -304,7 +321,7 @@ def pack_budget_samples(
     """
     r, m = cand.valid.shape
     n = r * m
-    sel, kept, _ = compact_select(cand.valid, budget, n_blocks=n_blocks)
+    sel, kept = _compact_sel_kept(cand.valid, budget, n_blocks, compact_impl)
     sel_valid = sel < n
     sel_c = jnp.minimum(sel, n - 1)
     srt = n_blocks == 1
@@ -351,6 +368,7 @@ def march_segments(
     pool: int = 4,
     n_blocks: int = 1,
     stratified_key=None,
+    compact_impl: str = "xla",
 ) -> PackedSamples:
     """Two-stage (segment -> sample) budgeted marching into PackedSamples.
 
@@ -407,7 +425,8 @@ def march_segments(
     pos_seg = origins[:, None, :] + viewdirs[:, None, :] * tm_seg[..., None]
     seg_valid = ((t_lo < t_max[:, None])
                  & coarse_lookup(occ_state, coarse, pos_seg))    # [R, Ms]
-    seg_sel, seg_kept, _ = compact_select(seg_valid, sb, n_blocks=n_blocks)
+    seg_sel, seg_kept = _compact_sel_kept(seg_valid, sb, n_blocks,
+                                          compact_impl)
     seg_ok = seg_sel < nseg
     seg_c = jnp.minimum(seg_sel, nseg - 1)
     srt = n_blocks == 1
@@ -430,7 +449,8 @@ def march_segments(
     fine_valid = (occupancy_lookup(occ_state, pos_s)
                   & (t0_s < tmax_s[:, None]) & seg_ok[:, None])  # [SB, seg]
     n2 = sb * seg
-    sel2, kept2, _ = compact_select(fine_valid, budget, n_blocks=n_blocks)
+    sel2, kept2 = _compact_sel_kept(fine_valid, budget, n_blocks,
+                                    compact_impl)
     ok2 = sel2 < n2
     c2 = jnp.minimum(sel2, n2 - 1)
     sidx = c2 // seg                                             # [B] -> SB
@@ -600,12 +620,14 @@ def render_rays_budget_packed(
     train: bool = True,
     n_blocks: int = 1,
     ray_complete: Optional[jnp.ndarray] = None,
+    compact_impl: str = "xla",
 ) -> RenderResult:
     """pack_budget_samples + render_packed on a dense candidate lattice
     (the budgeted packed-compositing train path; see those functions)."""
     ps = pack_budget_samples(
         origins, viewdirs, cand, timestamps, budget=budget,
         n_blocks=n_blocks, ray_complete=ray_complete,
+        compact_impl=compact_impl,
     )
     return render_packed(
         field, params, ps, render_bkgd, occ_mean, budget=budget,

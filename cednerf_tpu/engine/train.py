@@ -139,6 +139,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 pool=cfg.seg_pool,
                 n_blocks=cfg.compact_blocks,
                 stratified_key=k_march,
+                compact_impl=cfg.compact_impl,
             )
             n_valid_full = ps.n_valid
         else:
@@ -168,12 +169,14 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             else:
                 render = (render_rays_budget_packed if cfg.packed_render
                           else render_rays_budget)
+                kw = ({"compact_impl": cfg.compact_impl}
+                      if cfg.packed_render else {})
                 out = render(
                     field, params,
                     batch["origins"], batch["viewdirs"], cand,
                     batch["timestamps"], batch["color_bkgd"], occ_mean,
                     budget=budget, alpha_thre=cfg.alpha_thre, train=True,
-                    n_blocks=cfg.compact_blocks, ray_complete=fits,
+                    n_blocks=cfg.compact_blocks, ray_complete=fits, **kw,
                 )
             extras = out.extras
             complete = extras["complete"]  # [R] 1.0 where no sample dropped

@@ -25,12 +25,13 @@ FLAGS = ModelFlags(use_div_offsets=True, use_feat_predict=True,
                    distortion_loss=True, acc_entropy_loss=True)
 
 
-def _loss(scat, interp, seg):
+def _loss(scat, interp, seg, compact="xla"):
     cfg = dataclasses.replace(
         dnerf_config(max_steps=64), target_sample_batch_size=4096,
         grid_resolution=16, render_step_size=2e-2, max_march_steps=128,
         occ_warmup_steps=8, occ_update_interval=4,
-        scatter_impl=scat, interp_impl=interp, march_seg=seg)
+        scatter_impl=scat, interp_impl=interp, march_seg=seg,
+        compact_impl=compact)
     field = dataclasses.replace(build_field(cfg, FLAGS), dst_resolution=128)
     scene = BallScene(n_cams=4, wh=32, n_times=4)
     key = jax.random.PRNGKey(0)
@@ -42,11 +43,11 @@ def _loss(scat, interp, seg):
     return float(metrics["loss"])
 
 
-@pytest.mark.parametrize("scat,interp,seg", [
-    ("fused", "pallas", 8),
-    ("pallas", "xla", 0),
+@pytest.mark.parametrize("scat,interp,seg,compact", [
+    ("fused", "pallas", 8, "pallas"),
+    ("pallas", "xla", 0, "pallas"),
 ])
-def test_impl_combo_matches_xla_baseline(scat, interp, seg):
+def test_impl_combo_matches_xla_baseline(scat, interp, seg, compact):
     ref = _loss("xla", "xla", seg)
-    got = _loss(scat, interp, seg)
+    got = _loss(scat, interp, seg, compact)
     assert abs(got - ref) < 1e-3 * max(abs(ref), 1.0), (got, ref)
