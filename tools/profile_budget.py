@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--warm_steps", type=int, default=320)
     ap.add_argument("--interp", default="xla", choices=("xla", "pallas"),
                     help="encoder interpolation impl for all arms")
+    ap.add_argument("--compact", default="xla", choices=("xla", "pallas"),
+                    help="budget-compaction impl for all arms")
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="-1 sweeps {0, 8}; otherwise fixes the segment "
                          "length (0 = dense lattice)")
@@ -80,6 +82,7 @@ def main():
             for seg in segs:
                 cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl,
                                             interp_impl=args.interp,
+                                            compact_impl=args.compact,
                                             march_seg=seg)
                 field_i = build_field(cfg_i, flags)
                 step_fn = make_train_step(field_i, cfg_i, flags,
