@@ -816,7 +816,8 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
 
         def one_pass(carry):
             remaining, trans, rgb_acc, opac_acc, depth_acc = carry
-            sel, kept, _ = compact_select(remaining, budget)
+            sel, kept = _compact_sel_kept(remaining, budget, 1,
+                                          cfg.compact_impl)
             sel_valid = sel < n
             sel_c = jnp.minimum(sel, n - 1)
             ray = sel_c // m
