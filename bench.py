@@ -22,6 +22,22 @@ BASELINE_SAMPLES_PER_SEC = 12e6
 
 
 def main():
+    # Fail fast if the TPU tunnel is down (first seen 2026-08-18: backend
+    # init blocks forever in C and ignores signals) — probe in a killable
+    # subprocess first; a clear nonzero exit beats a silent hang.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, capture_output=True)
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("# bench: TPU backend init probe failed — tunnel down?",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
     import jax
 
     from cednerf_tpu.utils import enable_compile_cache
