@@ -59,6 +59,9 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--interp_impl", type=str, default=None,
                         choices=["xla", "pallas"],
                         help="encoder interpolation impl (engine/config.py)")
+    parser.add_argument("--fine_table_rows", type=int, default=None,
+                        help="fine-level (>=5) brick-table rows (e.g. 65536;"
+                             " cuts fine-level hash aliasing at HBM cost)")
     parser.add_argument("--compact_impl", type=str, default=None,
                         choices=["xla", "pallas"],
                         help="budget-compaction impl (engine/config.py)")
@@ -84,6 +87,8 @@ def apply_perf_overrides(cfg, args):
         upd["max_table_rows"] = args.max_table_rows
     if getattr(args, "compact_impl", None):
         upd["compact_impl"] = args.compact_impl
+    if getattr(args, "fine_table_rows", None):
+        upd["fine_table_rows"] = args.fine_table_rows
     return dataclasses.replace(cfg, **upd) if upd else cfg
 
 
@@ -129,4 +134,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         scatter_impl=cfg.scatter_impl,
         interp_impl=cfg.interp_impl,
         max_table_rows=cfg.max_table_rows,
+        fine_table_rows=cfg.fine_table_rows,
     )

@@ -76,6 +76,11 @@ class SceneConfig:
     # tables + Pallas grad accumulators VMEM-resident. Larger caps (more
     # corner slots, less hash aliasing) are valid with scatter_impl="xla".
     max_table_rows: int = 16384
+    # fine-level (>= level 5) brick-table row override: bigger fine tables
+    # cut the brick-hash aliasing quantified in tools/collision_stats.py
+    # at HBM (not VMEM) cost; levels over the VMEM bound use the XLA
+    # scatter automatically. 0 = uniform cap.
+    fine_table_rows: int = 0
     # budget-compaction impl: "xla" (cumsum + unique-index scatter) or
     # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
     # bit-compatible, single-block only — falls back otherwise)

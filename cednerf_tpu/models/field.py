@@ -107,6 +107,7 @@ class HashGridEncoder(nn.Module):
                 scatter_impl=self.spec.scatter_impl,
                 interp_impl=self.spec.interp_impl,
                 max_table_rows=self.spec.max_table_rows,
+                fine_table_rows=self.spec.fine_table_rows,
             )
             params = {
                 name: self.param(
@@ -211,6 +212,7 @@ class DNGPRadianceField(nn.Module):
     scatter_impl: str = "xla"  # encoder table-grad scatter (see BrickGridSpec)
     interp_impl: str = "xla"  # encoder interpolation impl (see BrickGridSpec)
     max_table_rows: int = 16384  # brick-impl per-level table cap (rows)
+    fine_table_rows: int = 0  # brick-impl fine-level row override
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -225,6 +227,7 @@ class DNGPRadianceField(nn.Module):
             scatter_impl=self.scatter_impl,
             interp_impl=self.interp_impl,
             max_table_rows=self.max_table_rows,
+            fine_table_rows=self.fine_table_rows,
         )
 
     @property

@@ -77,6 +77,14 @@ class BrickGridSpec:
     log2_hashmap_size: int = 19
     time_keyframes: int = 0
     max_table_rows: int = 16384
+    # optional LARGER row cap for the finest levels (>= fine_from_level):
+    # collision_stats.py shows fine hashed levels collide at 0.92-0.96 at
+    # the 16384-row cap vs 0.42-0.49 for the reference's per-corner 2^21;
+    # bigger fine tables trade HBM (cheap) for aliasing. Levels above the
+    # VMEM bound simply fall back to the XLA scatter per level (measured
+    # insensitive to table size). 0 = disabled (uniform cap).
+    fine_table_rows: int = 0
+    fine_from_level: int = 5
     # table-gradient scatter accumulator dtype: "bfloat16" keeps the [N, 64F]
     # update rows in bf16 end-to-end (no convert copies, half the scatter
     # read traffic; the reference's tcnn accumulates hash grads in fp16 too,
@@ -118,10 +126,13 @@ class BrickGridSpec:
 
     def level_layout(self) -> List[dict]:
         """Per-level static layout descriptors."""
-        hashed_rows = max(2 ** self.log2_hashmap_size // 16, 1)
-        hashed_rows = min(hashed_rows, self.max_table_rows)
+        base_rows = max(2 ** self.log2_hashmap_size // 16, 1)
         out = []
         for lvl in range(self.n_levels):
+            if self.fine_table_rows and lvl >= self.fine_from_level:
+                hashed_rows = self.fine_table_rows
+            else:
+                hashed_rows = min(base_rows, self.max_table_rows)
             res = level_resolution(level_scale(lvl, self.log_b, self.base_res))
             # corner lattice spans [0, res]; bricks of 3 cells cover it
             n_bricks_axis = max((res + BRICK_CELLS - 1) // BRICK_CELLS, 1)

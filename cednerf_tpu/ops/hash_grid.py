@@ -73,6 +73,8 @@ class HashGridSpec:
     interp_impl: str = "xla"
     # brick-impl per-level table-row cap (see BrickGridSpec.max_table_rows)
     max_table_rows: int = 16384
+    # brick-impl fine-level row override (see BrickGridSpec.fine_table_rows)
+    fine_table_rows: int = 0
 
     @property
     def log_b(self) -> float:
