@@ -18,12 +18,16 @@ def _parse(argv):
 def test_perf_overrides_reach_field_spec():
     args = _parse(["-te", "-ta", "-f", "--sample_budget", "524288",
                    "--scatter_impl", "fused", "--interp_impl", "pallas",
-                   "--max_table_rows", "32768"])
+                   "--max_table_rows", "32768",
+                   "--fine_table_rows", "65536",
+                   "--compact_impl", "pallas"])
     cfg = apply_perf_overrides(dnerf_config(max_steps=100), args)
     assert cfg.target_sample_batch_size == 524288
     assert cfg.scatter_impl == "fused"
     assert cfg.interp_impl == "pallas"
     assert cfg.max_table_rows == 32768
+    assert cfg.fine_table_rows == 65536
+    assert cfg.compact_impl == "pallas"
     field = build_field(cfg, flags_from_args(args))
     assert field.scatter_impl == "fused"
     assert field.interp_impl == "pallas"
@@ -31,6 +35,7 @@ def test_perf_overrides_reach_field_spec():
     assert bspec.scatter_impl == "fused"
     assert bspec.interp_impl == "pallas"
     assert bspec.max_table_rows == 32768
+    assert bspec.fine_table_rows == 65536
     # a 32768-row bf16 accumulator exceeds VMEM: the pallas route must
     # decline and fall back to the XLA path rather than Mosaic-OOM
     from cednerf_tpu.ops import brick_grid as bg

@@ -44,6 +44,11 @@ def main():
                          "for per-step budget scaling)")
     ap.add_argument("--scatter_impl", default=None,
                     choices=("xla", "pallas", "onehot", "auto", "fused"))
+    ap.add_argument("--compact_impl", default=None, choices=("xla", "pallas"))
+    ap.add_argument("--fine_table_rows", type=int, default=0,
+                    help="fine-level brick-table rows (aliasing A/B arm)")
+    ap.add_argument("--march_seg", type=int, default=-1,
+                    help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -79,6 +84,12 @@ def main():
         cfg = dataclasses.replace(cfg, scatter_impl=args.scatter_impl)
     if args.interp_impl:
         cfg = dataclasses.replace(cfg, interp_impl=args.interp_impl)
+    if args.compact_impl:
+        cfg = dataclasses.replace(cfg, compact_impl=args.compact_impl)
+    if args.fine_table_rows:
+        cfg = dataclasses.replace(cfg, fine_table_rows=args.fine_table_rows)
+    if args.march_seg >= 0:
+        cfg = dataclasses.replace(cfg, march_seg=args.march_seg)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
@@ -131,6 +142,9 @@ def main():
         "budget": cfg.target_sample_batch_size,
         "scatter_impl": cfg.scatter_impl,
         "interp_impl": cfg.interp_impl,
+        "compact_impl": cfg.compact_impl,
+        "fine_table_rows": cfg.fine_table_rows,
+        "march_seg": cfg.march_seg,
         "train_seconds": round(train_s, 1),
         "final_train_psnr": round(history[-1][1], 2) if history else None,
         "train_view_psnr": round(train_view_psnr, 2),
