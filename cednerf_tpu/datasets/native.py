@@ -59,6 +59,96 @@ def available() -> bool:
     return bool(_load_library())
 
 
+_WLIB = None
+_WSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                     "weights.cpp")
+
+
+def _load_weights_library():
+    """csrc/weights.cpp — native ISG/IST weight precompute (same
+    auto-compile + numpy-fallback contract as the ray sampler)."""
+    global _WLIB
+    with _LIB_LOCK:
+        if _WLIB is not None:
+            return _WLIB
+        src = os.path.abspath(_WSRC)
+        so = os.path.join(os.path.dirname(src), "libweights.so")
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", "-pthread", src, "-o", so],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(so)
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+            _WLIB = False
+            return False
+        i64, f32, i32 = ctypes.c_int64, ctypes.c_float, ctypes.c_int
+        vp = ctypes.c_void_p
+        lib.cednerf_median_images.restype = None
+        lib.cednerf_median_images.argtypes = [vp, i64, i64, i64, i32, vp]
+        lib.cednerf_isg_weights.restype = None
+        lib.cednerf_isg_weights.argtypes = [vp, vp, i64, i64, i64, f32,
+                                            i32, vp]
+        lib.cednerf_ist_weights.restype = None
+        lib.cednerf_ist_weights.argtypes = [vp, i64, i64, i64, f32, i64,
+                                            i32, vp]
+        _WLIB = lib
+        return lib
+
+
+def native_median_images(imgs, n_cams: int, n_threads: int = 8):
+    """[n_cams*n_frames, h, w, 3] uint8 -> [n_cams, h, w, 3] uint8 temporal
+    medians (numpy .astype(uint8) semantics), or None without a toolchain."""
+    lib = _load_weights_library()
+    n, h, w, _ = imgs.shape
+    n_frames = n // n_cams
+    if not lib or n_frames > 4096:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    out = np.empty((n_cams, h, w, 3), np.uint8)
+    lib.cednerf_median_images(
+        imgs.ctypes.data_as(ctypes.c_void_p), n_cams, n_frames, h * w,
+        n_threads, out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def native_isg_weights(imgs, median_imgs, gamma: float, n_threads: int = 8):
+    """Native ISG weights [n_cams, n_frames, h, w] f32, or None."""
+    lib = _load_weights_library()
+    if not lib:
+        return None
+    n, h, w, _ = imgs.shape
+    n_cams = median_imgs.shape[0]
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    median_imgs = np.ascontiguousarray(median_imgs, np.uint8)
+    out = np.empty((n_cams, n // n_cams, h, w), np.float32)
+    lib.cednerf_isg_weights(
+        imgs.ctypes.data_as(ctypes.c_void_p),
+        median_imgs.ctypes.data_as(ctypes.c_void_p),
+        n_cams, n // n_cams, h * w, gamma, n_threads,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def native_ist_weights(imgs, n_cams: int, alpha: float, frame_shift: int,
+                       n_threads: int = 8):
+    """Native IST weights [n_cams, n_frames, h, w] f32, or None."""
+    lib = _load_weights_library()
+    if not lib:
+        return None
+    n, h, w, _ = imgs.shape
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    out = np.empty((n_cams, n // n_cams, h, w), np.float32)
+    lib.cednerf_ist_weights(
+        imgs.ctypes.data_as(ctypes.c_void_p), n_cams, n // n_cams, h * w,
+        alpha, frame_shift, n_threads,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
 def build_cdf(weights: np.ndarray) -> np.ndarray:
     """Inclusive prefix-sum CDF of a weight map (normalized)."""
     weights = np.ascontiguousarray(weights.reshape(-1), np.float32)

@@ -20,6 +20,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from cednerf_tpu.datasets import native
 from cednerf_tpu.datasets.dynerf import isg_weights, ist_weights, load_dynerf_scene
 
 
@@ -46,18 +47,27 @@ def main():
     )
 
     if args.what in ("isg", "both"):
-        med = np.median(
-            imgs.reshape(n_cams, n_frames, h, w, 3), axis=1
-        ).astype(np.uint8)
-        wts = isg_weights(imgs, med, gamma=args.gamma).astype(np.float32)
+        # native C++ path (csrc/weights.cpp): streams per pixel instead of
+        # materializing [n_cams, n_frames, h, w, 3] float temporaries
+        med = native.native_median_images(imgs, n_cams)
+        if med is None:
+            med = np.median(
+                imgs.reshape(n_cams, n_frames, h, w, 3), axis=1
+            ).astype(np.uint8)
+        wts = native.native_isg_weights(imgs, med, gamma=args.gamma)
+        if wts is None:
+            wts = isg_weights(imgs, med, gamma=args.gamma).astype(np.float32)
         wts = wts / wts.sum()
         out = os.path.join(basedir, "isg_weights.npy")
         np.save(out, wts.reshape(-1, h, w))
         print(f"wrote {out} shape={wts.shape}")
 
     if args.what in ("ist", "both"):
-        wts = ist_weights(imgs, n_cams, alpha=args.alpha,
-                          frame_shift=args.frame_shift).astype(np.float32)
+        wts = native.native_ist_weights(imgs, n_cams, alpha=args.alpha,
+                                        frame_shift=args.frame_shift)
+        if wts is None:
+            wts = ist_weights(imgs, n_cams, alpha=args.alpha,
+                              frame_shift=args.frame_shift).astype(np.float32)
         wts = wts / wts.sum()
         out = os.path.join(basedir, "ist_weights.npy")
         np.save(out, wts.reshape(-1, h, w))
