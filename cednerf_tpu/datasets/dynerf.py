@@ -189,6 +189,7 @@ class DyNeRFDataset:
         self.training = (num_rays is not None) and split == "train"
         self.color_bkgd_aug = color_bkgd_aug
         self._rng = np.random.default_rng(seed)
+        self._factor = factor
         self.weights_subsampled = int(4 / factor) if factor < 4 else 1
         self.sampling_batch_size = 2_000_000
         self.sampling = "uniform"
@@ -196,6 +197,14 @@ class DyNeRFDataset:
         self._weights_dir = os.path.join(root_fp, self._base_subject(subject_id))
         if self.training and sampling in ("isg", "ist"):
             w = self._load_weights(self._weights_dir, sampling)
+            if w is None and read_image:
+                # self-bootstrap: the reference REQUIRES a notebook
+                # precompute pass; here missing weight maps are computed
+                # from the loaded frames (native C++ kernels when a
+                # toolchain exists) and cached beside the scene
+                w = self._compute_weights(sampling)
+                if w is not None:
+                    self.weights_subsampled = 1  # computed at image res
             if w is not None:
                 self.sampling_weights = w.reshape(-1)
                 self.sampling_weights /= self.sampling_weights.sum()
@@ -225,7 +234,49 @@ class DyNeRFDataset:
     def _base_subject(subject_id):
         return "flame_salmon_1" if "flame_salmon" in subject_id else subject_id
 
+    def _compute_weights(self, kind, gamma: float = 2e-2,
+                         alpha: float = 0.1, frame_shift: int = 25):
+        """Compute ISG/IST weights from the loaded frame stack (native
+        csrc/weights.cpp kernels with numpy fallback) and cache them as
+        {kind}_weights_f{factor}.npy in the scene dir (the unsuffixed
+        names stay reserved for the reference's factor-4 precompute)."""
+        from . import native as nat
+
+        n_cams = self.num_cameras
+        imgs = self.images[..., :3]
+        n, h, w, _ = imgs.shape
+        if kind == "isg":
+            med = nat.native_median_images(imgs, n_cams)
+            if med is None:
+                med = np.median(
+                    imgs.reshape(n_cams, -1, h, w, 3), axis=1
+                ).astype(np.uint8)
+            wts = nat.native_isg_weights(imgs, med, gamma=gamma)
+            if wts is None:
+                wts = isg_weights(imgs, med, gamma=gamma)
+        else:
+            wts = nat.native_ist_weights(imgs, n_cams, alpha=alpha,
+                                         frame_shift=frame_shift)
+            if wts is None:
+                wts = ist_weights(imgs, n_cams, alpha=alpha,
+                                  frame_shift=frame_shift)
+        wts = wts.astype(np.float32)
+        wts /= wts.sum()
+        try:
+            np.save(self._weights_cache_path(kind), wts.reshape(-1, h, w))
+        except OSError:
+            pass  # read-only dataset dir: recompute next run
+        return wts
+
+    def _weights_cache_path(self, kind):
+        return os.path.join(self._weights_dir,
+                            f"{kind}_weights_f{self._factor}.npy")
+
     def _load_weights(self, basedir, kind):
+        cache = self._weights_cache_path(kind)
+        if basedir == self._weights_dir and os.path.exists(cache):
+            self.weights_subsampled = 1
+            return np.load(cache).astype(np.float32)
         npy = os.path.join(basedir, f"{kind}_weights.npy")
         pt = os.path.join(basedir, f"{kind}_weights.pt")
         if os.path.exists(npy):

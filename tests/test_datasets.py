@@ -369,3 +369,24 @@ def test_se3_twist_roundtrip_matches_scipy():
     for P in dense:
         np.testing.assert_allclose(P[:3, :3] @ P[:3, :3].T, np.eye(3),
                                    atol=1e-5)
+
+
+def test_dynerf_isg_bootstrap_without_weight_files(tmp_path):
+    """Missing weight maps self-bootstrap from the loaded frames and cache."""
+    from cednerf_tpu.datasets.dynerf import DyNeRFDataset
+
+    root = make_dynerf_fixture(str(tmp_path))
+    ds = DyNeRFDataset("cook_spinach", root, "train", num_rays=64, factor=4,
+                       sampling="isg")
+    assert ds.sampling == "isg"            # bootstrapped, not uniform
+    assert ds.weights_subsampled == 1      # computed at image resolution
+    assert ds.sampling_weights is not None
+    cache = os.path.join(root, "cook_spinach", "isg_weights_f4.npy")
+    assert os.path.exists(cache)
+    batch = ds.sample(64)
+    assert batch["origins"].shape == (64, 3)
+    # second loader reuses the cache (still isg, same weight count)
+    ds2 = DyNeRFDataset("cook_spinach", root, "train", num_rays=64, factor=4,
+                        sampling="isg")
+    assert ds2.sampling == "isg"
+    np.testing.assert_allclose(ds2.sampling_weights, ds.sampling_weights)
