@@ -33,6 +33,9 @@ run budget_sweep python tools/profile_budget.py --iters 12
 run budget_sweep_pallas python tools/profile_budget.py --iters 12 \
     --impls fused --interp pallas --compact pallas
 
+# 3c. eval/viewer frame-time ladder (slider speed/quality evidence)
+run eval_profile python tools/profile_eval.py --wh 256
+
 # 4. current-default bench for a baseline r2 number (even if defaults
 #    change later, this anchors the log)
 run bench_default python bench.py
