@@ -273,10 +273,16 @@ class DyNeRFDataset:
                             f"{kind}_weights_f{self._factor}.npy")
 
     def _load_weights(self, basedir, kind):
+        """Load a weight map, making self.weights_subsampled authoritative
+        for the SOURCE it came from: bootstrap caches are at image
+        resolution (1); reference precompute files are at factor-4
+        resolution (4/factor for factor < 4)."""
         cache = self._weights_cache_path(kind)
         if basedir == self._weights_dir and os.path.exists(cache):
             self.weights_subsampled = 1
             return np.load(cache).astype(np.float32)
+        self.weights_subsampled = (int(4 / self._factor)
+                                   if self._factor < 4 else 1)
         npy = os.path.join(basedir, f"{kind}_weights.npy")
         pt = os.path.join(basedir, f"{kind}_weights.pt")
         if os.path.exists(npy):
@@ -291,11 +297,18 @@ class DyNeRFDataset:
         """Swap the sampling distribution to IST (dnerf_3d_video_IS.py:308).
 
         weights_or_dir: explicit weight array, a directory holding
-        ist_weights.npy/.pt, or None to use the scene's own weights dir."""
+        ist_weights.npy/.pt, or None to use the scene's own weights dir.
+        Missing maps self-bootstrap from the loaded frames (like __init__);
+        an explicit array is assumed to be at image resolution."""
         if isinstance(weights_or_dir, np.ndarray):
             w = weights_or_dir
+            self.weights_subsampled = 1
         else:
             w = self._load_weights(weights_or_dir or self._weights_dir, "ist")
+            if w is None and self.images is not None:
+                w = self._compute_weights("ist")
+                if w is not None:
+                    self.weights_subsampled = 1
         if w is not None:
             self.sampling_weights = w.reshape(-1).astype(np.float32)
             self.sampling_weights /= self.sampling_weights.sum()

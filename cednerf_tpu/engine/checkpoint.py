@@ -96,7 +96,15 @@ def load_checkpoint_full(path: str, state) -> tuple:
                 "flags?):\n  " + "\n  ".join(bad)
             )
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, _ckpt_tree(state, 0))
+    try:
+        restored = ckptr.restore(path, _ckpt_tree(state, 0))
+    except Exception:
+        # legacy layout (pre key/bucket): restore without them
+        legacy = _ckpt_tree(state, 0)
+        legacy.pop("key"); legacy.pop("bucket")
+        restored = dict(ckptr.restore(path, legacy))
+        restored["key"] = np.zeros(2, np.uint32)
+        restored["bucket"] = np.asarray(0)
     occ = OccGridState(
         occs=restored["occ"]["occs"],
         binaries=restored["occ"]["binaries"],

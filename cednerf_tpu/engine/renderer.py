@@ -107,7 +107,7 @@ def _compact_sel_kept(valid, budget: int, n_blocks: int, impl: str):
     """
     if impl == "pallas" and n_blocks == 1 and budget <= (2 << 20):
         r, m = valid.shape
-        if r * m < (1 << 24):
+        if r * m < (1 << 24) and (r * m) % 8 == 0:
             from ..ops.pallas_compact import compact_select_pallas
             return compact_select_pallas(valid, budget)
     sel, kept, _ = compact_select(valid, budget, n_blocks=n_blocks)
@@ -387,7 +387,10 @@ def march_segments(
     Slot order stays ray-major/t-ascending (both compactions are ascending
     per block), so the result composites identically to the dense path.
 
-    Correctness scope: single-level occupancy grids (asserted). With nested
+    Correctness scope: single-level occupancy grids (asserted) and uniform
+    step sizes (cone_angle == 0; with cone growth a far segment's half-span
+    can exceed the pooled grid's dilated reach and the coarse test stops
+    being a superset — engine/train.py gates on this). With nested
     levels a segment straddling a level boundary could have samples whose
     containing level differs from the tested endpoint's, and the coarse test
     would not be a strict superset; the dense path remains the multi-level
@@ -539,7 +542,6 @@ def render_packed(
 
     sdelta_p = sigmas_p * dts_p * vf
     excl_sd = exclusive_cumsum(sdelta_p, axis=0)                  # [B]
-    w_pre = None  # filled by packed losses on demand
 
     # per-slot ray-base prefixes via one [R, 1] base gather. The exponent is
     # clamped at 0: a block's invalid tail slots carry ray = last-ray (their

@@ -117,8 +117,12 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
     lattice — steady state only (a dense warmup grid truncates every
     segment).
     """
+    # cone_angle > 0 grows dt with distance, so a segment's half-span can
+    # exceed the pooled coarse grid's dilated reach and the coarse test
+    # stops being a superset (valid samples silently dropped with
+    # complete=1) — gate seg marching to uniform-step configs
     use_seg = bool(use_seg and cfg.march_seg and cfg.packed_render
-                   and cfg.grid_nlvl == 1)
+                   and cfg.grid_nlvl == 1 and cfg.cone_angle == 0.0)
 
     def one_step(state: TrainState, batch, key):
         k_march, = jax.random.split(key, 1)

@@ -114,7 +114,12 @@ def compact_select_pallas(valid, budget: int, tile: int = 0,
     r, m = valid.shape
     n = r * m
     if not tile:  # largest clean tile; smaller tiles shrink the T^2 work
-        tile = next(t for t in (1024, 512, 256, 128, 64, 8) if n % t == 0)
+        tile = next((t for t in (1024, 512, 256, 128, 64, 8)
+                     if n % t == 0), 0)
+        if not tile:
+            raise ValueError(
+                f"lattice size {n} has no clean tile; caller should fall "
+                "back to compact_select (renderer._compact_sel_kept does)")
     assert n % tile == 0, (n, tile)
     assert n < (1 << 24), "flat indices ride the MXU as f32"
     run = _build(n, budget, tile, bool(interpret))

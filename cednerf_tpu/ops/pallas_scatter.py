@@ -49,7 +49,7 @@ def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
     interpret=None compiles on TPU and interprets elsewhere (CPU test mesh).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     n, w = upd.shape
     assert n % tile == 0, (n, tile)
     adt = jnp.dtype(accum_dtype)

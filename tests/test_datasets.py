@@ -390,3 +390,19 @@ def test_dynerf_isg_bootstrap_without_weight_files(tmp_path):
                         sampling="isg")
     assert ds2.sampling == "isg"
     np.testing.assert_allclose(ds2.sampling_weights, ds.sampling_weights)
+
+
+def test_switch_to_ist_bootstraps_missing_weights(tmp_path):
+    from cednerf_tpu.datasets.dynerf import DyNeRFDataset
+
+    root = make_dynerf_fixture(str(tmp_path))
+    ds = DyNeRFDataset("cook_spinach", root, "train", num_rays=64, factor=4,
+                       sampling="isg")
+    assert ds.sampling == "isg"
+    ds.switch_to_ist()          # no ist_weights.npy anywhere -> bootstrap
+    assert ds.sampling == "ist"
+    assert ds.weights_subsampled == 1
+    assert os.path.exists(
+        os.path.join(root, "cook_spinach", "ist_weights_f4.npy"))
+    batch = ds.sample(64)
+    assert batch["origins"].shape == (64, 3)

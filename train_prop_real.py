@@ -67,9 +67,9 @@ def main():
             hash_n_levels=args.hash_levels or cfg.hash_n_levels,
             hash_n_features=args.hash_features or cfg.hash_n_features,
         )
+    cfg = apply_perf_overrides(cfg, args)
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
-    cfg = apply_perf_overrides(cfg, args)
     pcfg = PropConfig.for_family(cfg.family)
     props = build_prop_networks(cfg, pcfg)
 
