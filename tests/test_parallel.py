@@ -142,3 +142,23 @@ def test_two_process_distributed_step():
         assert m, o[-2000:]
         digests.append(m.group(1))
     assert digests[0] == digests[1], digests
+
+
+def test_sharded_step_with_pallas_impls():
+    """GSPMD composes with the Pallas kernels: the sharded train step with
+    scatter_impl='fused' + interp_impl='pallas' compiles and matches the
+    XLA-impl sharded step's loss (accumulator-reorder noise only)."""
+    cfg, field, state, batch = _setup()
+    cfg_p = dataclasses.replace(cfg, scatter_impl="fused",
+                                interp_impl="pallas")
+    field_p = dataclasses.replace(field, scatter_impl="fused",
+                                  interp_impl="pallas")
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(3)
+    flags = ModelFlags()
+    _, m_ref = make_train_step(field, cfg, flags)(state_r, sharded, key)
+    _, m_pal = make_train_step(field_p, cfg_p, flags)(state_r, sharded, key)
+    ref, pal = float(m_ref["loss"]), float(m_pal["loss"])
+    assert abs(ref - pal) < 1e-3 * max(abs(ref), 1.0), (ref, pal)
