@@ -98,6 +98,13 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
     return sel, write_b.reshape(r, m), rank_b.reshape(r, m)
 
 
+def _ray_info(origins, viewdirs, timestamps):
+    """[R, 7] per-ray slot-gather source: origin | viewdir | timestamp."""
+    r = origins.shape[0]
+    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
+    return jnp.concatenate([origins, viewdirs, ts_full[:, None]], axis=-1)
+
+
 def _compact_sel_kept(valid, budget: int, n_blocks: int, impl: str):
     """compact_select minus the `rank` output, dispatched by impl.
 
@@ -182,10 +189,8 @@ def render_rays_budget(
     # Pack per-ray and per-candidate inputs so assembly is 2 row gathers
     # instead of 5 (takes are per-row overhead-bound; none of these need
     # gradients — marching inputs are constants w.r.t. parameters).
-    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
-    ray_info = jnp.concatenate(
-        [origins, viewdirs, ts_full[:, None]], axis=-1)  # [R, 7]
-    ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=srt)
+    ri = jnp.take(_ray_info(origins, viewdirs, timestamps), ray, axis=0,
+                  indices_are_sorted=srt)
     o, d, ts = ri[:, 0:3], ri[:, 3:6], ri[:, 6]
     tpack = jnp.stack(
         [cand.t_starts.reshape(-1), cand.dts.reshape(-1)], axis=-1)  # [n, 2]
@@ -327,10 +332,8 @@ def pack_budget_samples(
     srt = n_blocks == 1
     ray = sel_c // m
 
-    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
-    ray_info = jnp.concatenate(
-        [origins, viewdirs, ts_full[:, None]], axis=-1)  # [R, 7]
-    ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=srt)
+    ri = jnp.take(_ray_info(origins, viewdirs, timestamps), ray, axis=0,
+                  indices_are_sorted=srt)
     o, d, ts = ri[:, 0:3], ri[:, 3:6], ri[:, 6]
     tpack = jnp.stack(
         [cand.t_starts.reshape(-1), cand.dts.reshape(-1)], axis=-1)
@@ -435,10 +438,8 @@ def march_segments(
     srt = n_blocks == 1
     seg_ray = seg_c // ms                                        # [SB]
 
-    ts_full = jnp.broadcast_to(jnp.reshape(timestamps, (-1,))[:r], (r,))
-    ray_info = jnp.concatenate(
-        [origins, viewdirs, ts_full[:, None]], axis=-1)          # [R, 7]
-    ri = jnp.take(ray_info, seg_ray, axis=0, indices_are_sorted=srt)
+    ri = jnp.take(_ray_info(origins, viewdirs, timestamps), seg_ray, axis=0,
+                  indices_are_sorted=srt)
     # per-segment t block: one [SB, 2*seg] row gather
     tl = jnp.concatenate(
         [t0.reshape(nseg, seg), dt.reshape(nseg, seg)], axis=-1)
@@ -809,9 +810,7 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
         r, m = valid.shape
         n = r * m
         budget = budget_per_ray * n_rays
-        ts_full = jnp.broadcast_to(jnp.reshape(t, (-1,))[:r], (r,))
-        ray_info = jnp.concatenate(
-            [origins, viewdirs, ts_full[:, None]], axis=-1)  # [R, 7]
+        ray_info = _ray_info(origins, viewdirs, t)
         tpack = jnp.stack(
             [cand.t_starts.reshape(-1), cand.dts.reshape(-1)], axis=-1)
         dts_lattice = cand.dts
