@@ -12,13 +12,21 @@ end-to-end on HyperNeRF vrig_3dprinter (2^18 samples/step, 20k steps, 425 s).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 12e6
+
+# Optional knob overrides for unattended A/B benching (tools/tpu_session.sh):
+# CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576,
+#                     "scatter_impl": "fused"}' python bench.py
+# Values land on SceneConfig via dataclasses.replace; unknown keys fail fast.
+_CFG_ENV = "CEDNERF_BENCH_CFG"
 
 
 def main():
@@ -56,6 +64,11 @@ def main():
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
     )
     cfg = dnerf_config(max_steps=100000)
+    overrides = json.loads(os.environ.get(_CFG_ENV, "{}"))
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+        print(f"# bench: cfg overrides {overrides}", file=sys.stderr,
+              flush=True)
     field = build_field(cfg, flags)
     # dense dynamic scene: ~50% of rays hit geometry, tens of samples/ray in
     # steady state — comparable per-ray load to the reference's real captures

@@ -40,5 +40,27 @@ run eval_profile python tools/profile_eval.py --wh 256
 #    change later, this anchors the log)
 run bench_default python bench.py
 
+# 5. candidate-combo benches (full bench.py protocol, not just step ms) —
+#    these anchor BENCH_r02 default selection without a human in the loop
+run bench_fused env CEDNERF_BENCH_CFG='{"scatter_impl": "fused"}' \
+    python bench.py
+run bench_fused_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "target_sample_batch_size": 1048576}' \
+    python bench.py
+run bench_pallas_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "interp_impl": "pallas", "compact_impl": "pallas", "target_sample_batch_size": 1048576}' \
+    python bench.py
+
+# 6. quality gates at the candidate budget (equal-step PSNR, procedural)
+run val_1m python tools/validate_synthetic.py --steps 2000 \
+    --budget 1048576 --scatter_impl fused --out "$OUT/val_1m"
+
+# 7. encoder-divergence texture A/B (VERDICT r1 #3): brick L8F4 default vs
+#    reference-exact per-corner L16F2 @ 2^21 — 20k steps each
+run texture_brick python tools/validate_synthetic.py --steps 20000 \
+    --scene texture --levels 8 --features 4 --impl brick \
+    --out "$OUT/texture_brick"
+run texture_ref python tools/validate_synthetic.py --steps 20000 \
+    --scene texture --levels 16 --features 2 --impl gather --log2 21 \
+    --out "$OUT/texture_ref"
+
 echo "QUEUE DONE — read $OUT/*.log, pick defaults, re-run bench.py" \
   | tee -a "$OUT/queue.log"
