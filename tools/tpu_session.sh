@@ -36,6 +36,15 @@ run budget_sweep_pallas python tools/profile_budget.py --iters 12 \
 # 3c. eval/viewer frame-time ladder (slider speed/quality evidence)
 run eval_profile python tools/profile_eval.py --wh 256
 
+# 3d. path-to-24M probe: 2M/4M budgets need segment marching to keep the
+#     fine lattice ~budget-proportional (PERF_PLAN §"Path to 24M" item 2)
+run budget_big_seg8 python tools/profile_budget.py --iters 8 \
+    --budgets 2097152,4194304 --impls fused --march_seg 8 \
+    --interp pallas --compact pallas
+run budget_big_seg16 python tools/profile_budget.py --iters 8 \
+    --budgets 2097152,4194304 --impls fused --march_seg 16 \
+    --interp pallas --compact pallas
+
 # 4. current-default bench for a baseline r2 number (even if defaults
 #    change later, this anchors the log)
 run bench_default python bench.py
