@@ -60,23 +60,33 @@ function c2w() {
   const y = [z[1]*x[2]-z[2]*x[1], z[2]*x[0]-z[0]*x[2], z[0]*x[1]-z[1]*x[0]];
   return [x[0],y[0],z[0],pos[0], x[1],y[1],z[1],pos[1], x[2],y[2],z[2],pos[2]];
 }
-async function render() {
-  if (busy) { pending = true; return; }
+async function render(preview) {
+  if (busy) { pending = preview ? 'p' : 'f'; return; }
   busy = true;
+  // progressive: interactions render at half resolution (the canvas
+  // upscales, image-rendering:pixelated), idle refines at full
+  const w = preview ? Math.max(cv.width >> 1, 64) : cv.width;
   const body = JSON.stringify({
     c2w: c2w(), time: parseFloat(document.getElementById('time').value),
     depth: document.getElementById('depth').checked,
     max_samples: parseInt(document.getElementById('msamp').value),
-    width: cv.width });
+    width: w });
   const t0 = performance.now();
   const resp = await fetch('/render', {method:'POST', body});
   const blob = await resp.blob();
   const img = await createImageBitmap(blob);
   ctx2d.drawImage(img, 0, 0, cv.width, cv.height);
   document.getElementById('stats').textContent =
-      (performance.now()-t0).toFixed(0) + ' ms/frame';
+      (performance.now()-t0).toFixed(0) + ' ms/frame' +
+      (preview ? ' (preview)' : '');
   busy = false;
-  if (pending) { pending = false; render(); }
+  if (pending) { const p = pending === 'p'; pending = false; render(p); }
+}
+let refineTimer = null;
+function interact() {
+  render(true);
+  clearTimeout(refineTimer);
+  refineTimer = setTimeout(() => render(false), 300);
 }
 let drag = null;
 cv.onmousedown = e => drag = [e.clientX, e.clientY, e.shiftKey];
@@ -87,27 +97,28 @@ window.onmousemove = e => {
   if (drag[2]) { center[0] -= dx*0.003*radius; center[2] += dy*0.003*radius; }
   else { theta -= dx*0.01; phi = Math.min(1.5, Math.max(-1.5, phi + dy*0.01)); }
   drag = [e.clientX, e.clientY, drag[2]];
-  render();
+  interact();
 };
-cv.onwheel = e => { e.preventDefault(); radius *= Math.exp(e.deltaY*0.001); render(); };
-document.getElementById('time').oninput = render;
-document.getElementById('msamp').oninput = render;
-document.getElementById('depth').oninput = render;
+cv.onwheel = e => { e.preventDefault(); radius *= Math.exp(e.deltaY*0.001); interact(); };
+document.getElementById('time').oninput = interact;
+document.getElementById('msamp').oninput = interact;
+document.getElementById('depth').oninput = interact;
 document.getElementById('play').onclick = () => {
   playing = !playing;
   document.getElementById('play').textContent = playing ? 'pause' : 'play';
 };
 document.getElementById('snap').onclick = async () => {
   const r = await fetch('/snap'); const p = await r.json();
-  radius = p.radius; theta = p.theta; phi = p.phi; center = p.center; render();
+  radius = p.radius; theta = p.theta; phi = p.phi; center = p.center;
+  render(false);
 };
 setInterval(() => {
   if (!playing) return;
   const t = document.getElementById('time');
   t.value = (parseFloat(t.value) + 0.02) % 1.0;
-  render();
+  interact();
 }, 100);
-render();
+render(false);
 </script></body></html>"""
 
 
@@ -215,11 +226,14 @@ class ViewerServer:
                 )
                 import imageio.v2 as imageio
 
+                # JPEG transport: ~8x smaller frames than PNG at q92 and a
+                # much cheaper encode — the PNG deflate was a visible share
+                # of interactive frame time at 400x400
                 buf = io.BytesIO()
-                imageio.imwrite(buf, img, format="png")
+                imageio.imwrite(buf, img, format="jpeg", quality=92)
                 body = buf.getvalue()
                 self.send_response(200)
-                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Type", "image/jpeg")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

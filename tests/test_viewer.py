@@ -1,4 +1,4 @@
-"""Viewer server smoke test: page loads, /render returns a PNG frame."""
+"""Viewer server smoke test: page loads, /render returns a JPEG frame."""
 
 import http.client
 import json
@@ -46,7 +46,8 @@ def test_viewer_render_roundtrip():
         resp = conn.getresponse()
         data = resp.read()
         assert resp.status == 200
-        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert data[:2] == b"\xff\xd8"  # JPEG SOI
+        assert resp.getheader("Content-Type") == "image/jpeg"
 
         conn.request("GET", "/snap")
         snap = json.loads(conn.getresponse().read())
