@@ -60,6 +60,22 @@ def main():
         print(f"interp={impl:7s} scatter={scat:7s} dloss={dv:.2e} "
               f"dtable(rel)={dmax:.2e} dx(rel)={dxe / dxs:.2e} "
               f"{'OK' if line_ok else 'FAIL'}", flush=True)
+
+    # budget compaction: the pallas kernel claims BIT-compatibility with
+    # compact_select (engine/renderer.py dispatch) — check on real lowering
+    from cednerf_tpu.engine.renderer import compact_select
+    from cednerf_tpu.ops.pallas_compact import compact_select_pallas
+    r, m, budget = 2048, 512, 65536
+    valid = jr.uniform(jr.PRNGKey(2), (r, m)) < 0.1
+    sel_x, kept_x, _ = jax.jit(
+        lambda v: compact_select(v, budget, n_blocks=1))(valid)
+    sel_p, kept_p = jax.jit(
+        lambda v: compact_select_pallas(v, budget))(valid)
+    comp_ok = (np.array_equal(np.asarray(sel_x), np.asarray(sel_p))
+               and np.array_equal(np.asarray(kept_x), np.asarray(kept_p)))
+    ok &= comp_ok
+    print(f"compact pallas-vs-xla bit-exact: "
+          f"{'OK' if comp_ok else 'FAIL'}", flush=True)
     sys.exit(0 if ok else 1)
 
 
