@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
+    ap.add_argument("--mini", action="store_true",
+                    help="CPU-feasible shrink (wh 64, budget 16k, march 256, "
+                         "table rows 2048/log2 16): preliminary A/B deltas "
+                         "when the chip is unavailable — NOT the canonical "
+                         "gate; collision/boundary regimes scale down with "
+                         "the tables")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -74,6 +80,13 @@ def main():
     import dataclasses
 
     cfg = dnerf_config(max_steps=args.steps)
+    wh = 128
+    if args.mini:
+        wh = 64
+        cfg = dataclasses.replace(
+            cfg, target_sample_batch_size=16384, max_march_steps=256,
+            grid_resolution=64, max_table_rows=2048,
+            log2_hashmap_size=16, occ_warmup_steps=64)
     if args.log2:
         cfg = dataclasses.replace(cfg, log2_hashmap_size=args.log2)
     if args.grad_accum:
@@ -97,7 +110,7 @@ def main():
 
     scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
                  "texture": TexturedCloudScene}[args.scene]
-    scene = scene_cls(n_cams=8, wh=128, n_times=8)
+    scene = scene_cls(n_cams=8, wh=wh, n_times=8)
     trainer = Trainer(field, cfg, flags, scene, seed=0,
                       device_sampler=scene.device_sampler(), steps_per_call=16)
 
@@ -133,6 +146,7 @@ def main():
 
     result = {
         "steps": args.steps,
+        "mini": args.mini,
         "levels": args.levels,
         "features": args.features,
         "scene": args.scene,
