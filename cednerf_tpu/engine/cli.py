@@ -70,6 +70,10 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "(default 16384 = 2^20 corner slots/level; "
                              "raise with --scatter_impl xla for less hash "
                              "aliasing at fine levels)")
+    parser.add_argument("--remat_feats", action="store_true",
+                        help="re-gather encoder rows in the backward instead "
+                             "of saving [N, 64F] residuals (use at sample "
+                             "budgets >= 2M; ops/brick_grid.py)")
     return parser
 
 
@@ -89,6 +93,8 @@ def apply_perf_overrides(cfg, args):
         upd["compact_impl"] = args.compact_impl
     if getattr(args, "fine_table_rows", None):
         upd["fine_table_rows"] = args.fine_table_rows
+    if getattr(args, "remat_feats", False):
+        upd["remat_feats"] = True
     return dataclasses.replace(cfg, **upd) if upd else cfg
 
 
@@ -135,4 +141,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         interp_impl=cfg.interp_impl,
         max_table_rows=cfg.max_table_rows,
         fine_table_rows=cfg.fine_table_rows,
+        remat_feats=cfg.remat_feats,
     )

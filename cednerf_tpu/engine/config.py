@@ -81,6 +81,11 @@ class SceneConfig:
     # at HBM (not VMEM) cost; levels over the VMEM bound use the XLA
     # scatter automatically. 0 = uniform cap.
     fine_table_rows: int = 0
+    # re-gather encoder rows in the backward instead of saving the [N, 64F]
+    # per-level residuals (ops/brick_grid.py remat_feats): trades ~0.5 ms
+    # re-gather per level for ~4 GB residual HBM per 1M budget samples —
+    # enable at target_sample_batch_size >= 2M
+    remat_feats: bool = False
     # budget-compaction impl: "xla" (cumsum + unique-index scatter) or
     # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
     # bit-compatible, single-block only — falls back otherwise)

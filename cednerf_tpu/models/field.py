@@ -108,6 +108,7 @@ class HashGridEncoder(nn.Module):
                 interp_impl=self.spec.interp_impl,
                 max_table_rows=self.spec.max_table_rows,
                 fine_table_rows=self.spec.fine_table_rows,
+                remat_feats=self.spec.remat_feats,
             )
             params = {
                 name: self.param(
@@ -213,6 +214,7 @@ class DNGPRadianceField(nn.Module):
     interp_impl: str = "xla"  # encoder interpolation impl (see BrickGridSpec)
     max_table_rows: int = 16384  # brick-impl per-level table cap (rows)
     fine_table_rows: int = 0  # brick-impl fine-level row override
+    remat_feats: bool = False  # brick-impl: re-gather rows in the backward
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -228,6 +230,7 @@ class DNGPRadianceField(nn.Module):
             interp_impl=self.interp_impl,
             max_table_rows=self.max_table_rows,
             fine_table_rows=self.fine_table_rows,
+            remat_feats=self.remat_feats,
         )
 
     @property

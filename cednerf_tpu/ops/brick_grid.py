@@ -104,6 +104,13 @@ class BrickGridSpec:
     # fused backward kernels for the table grads; 3D specs only, falls
     # back to "xla" when shape preconditions fail)
     interp_impl: str = "xla"
+    # Recompute the gathered brick rows in the backward instead of saving
+    # them as VJP residuals. The residuals cost N * 64F * 2 B * n_levels of
+    # HBM (≈ 4 GB per 1M samples at L8F4) — binding at the 2-4M-sample
+    # budgets of the throughput ladder — while the re-gather is one extra
+    # row gather per level (~0.5 ms marginal each on v5e). 3D levels only
+    # (the 4D keyframe path always saves its lerped rows).
+    remat_feats: bool = False
 
     @property
     def log_b(self) -> float:
@@ -387,7 +394,8 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                        table_dtype_name: str = "float32",
                        dx_impl: str = "hybrid",
                        accum_dtype_name: str = "float32",
-                       scatter_impl: str = "xla"):
+                       scatter_impl: str = "xla",
+                       remat_feats: bool = False):
     """Analytic custom-VJP single-level encode: (table, x) -> [N, F].
 
     The autodiff backward through the trilinear-weight outer product
@@ -435,10 +443,21 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
         return fwd_impl(table, x)[0]
 
     def fwd(table, x):
-        # saving the gathered rows (bf16) costs one linear HBM write/read,
-        # cheaper than re-gathering 1 row/sample in the backward
+        # default: saving the gathered rows (bf16) costs one linear HBM
+        # write/read, cheaper than re-gathering 1 row/sample in the
+        # backward. remat_feats flips that trade: keep only (x, table) and
+        # re-gather — the per-sample residual memory is what binds at
+        # multi-million-sample budgets.
+        if remat_feats:
+            return fwd_impl(table, x)[0], (x, table)
         out, feats = fwd_impl(table, x)
         return out, (x, feats)
+
+    def _res_feats(res_tf, rows):
+        """Residual -> gathered rows (re-gather under remat_feats)."""
+        if remat_feats:
+            return jnp.take(res_tf.astype(cdtype), rows, axis=0)
+        return res_tf
 
     # constant [F, W] one-hot expanding a feature cotangent to lane width
     _expand_np = (np.zeros((1, CORNERS_PER_BRICK, 1), np.float32)
@@ -446,8 +465,9 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                       n_feat, W)
 
     def bwd_cmp(res, g):
-        x, feats = res
+        x, tf = res
         rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        feats = _res_feats(tf, rows)
         adt0 = jnp.dtype(accum_dtype_name)
         if (scatter_impl == "fused" and x.shape[0] % 1024 == 0
                 and n_rows * W * adt0.itemsize <= 12 * 2 ** 20):
@@ -480,9 +500,10 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
     def bwd(res, g):
         if cmp_bwd:
             return bwd_cmp(res, g)
-        x, feats = res
+        x, tf = res
         n = x.shape[0]
         rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        feats = _res_feats(tf, rows)
         w, dw = _axis_factors(intra, frac, cdtype)
         gout = jnp.tile(g.astype(cdtype), (1, CORNERS_PER_BRICK))  # [N, 64F]
         upd = _w_lanes(w, F) * gout
@@ -725,7 +746,7 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
 @functools.lru_cache(maxsize=None)
 def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
                         dtype_name: str, table_dtype_name: str,
-                        accum_dtype_name: str):
+                        accum_dtype_name: str, remat_feats: bool = False):
     """Analytic custom-VJP multi-level encode on the Pallas kernels.
 
     Forward: per-level XLA row gathers (the best row primitive on v5e)
@@ -755,11 +776,25 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         return fwd_impl(tables, x)[0]
 
     def fwd(tables, x):
+        if remat_feats:
+            # keep only (x, tables): rows + gathered feats are re-derived
+            # in the backward — per-sample residuals bind at 2-4M budgets
+            return fwd_impl(tables, x)[0], (x, tables)
         out, feats, rows_l = fwd_impl(tables, x)
         return out, (x, feats, rows_l)
 
     def bwd(res, g):
-        x, feats, rows_l = res
+        if remat_feats:
+            x, tables = res
+            feats, rows_l = [], []
+            for lvl in range(L):
+                rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
+                                            hasheds[lvl], rows_n[lvl])
+                feats.append(jnp.take(tables[lvl].astype(cdtype), rows,
+                                      axis=0))
+                rows_l.append(rows)
+        else:
+            x, feats, rows_l = res
         adt = jnp.dtype(accum_dtype_name)
         tdt = jnp.dtype(table_dtype_name)
         d_tables, d_x = [], jnp.zeros((), jnp.float32)
@@ -927,7 +962,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             tuple(bool(lay["hashed"]) for lay in layouts),
             tuple(lay["rows"] for lay in layouts), f,
             jnp.dtype(compute_dtype).name, tables[0].dtype.name,
-            spec.grad_accum_dtype)
+            spec.grad_accum_dtype, spec.remat_feats)
         return enc(tables, x)
 
     if spec.time_keyframes:
@@ -951,7 +986,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                     float(scale), lay["n_bricks_axis"], lay["hashed"],
                     lay["rows"], f, jnp.dtype(compute_dtype).name,
                     table.dtype.name, dx_impl, spec.grad_accum_dtype,
-                    spec.scatter_impl)
+                    spec.scatter_impl, spec.remat_feats)
                 outs.append(enc(table, x))
             else:
                 rows, w = _level_rows_and_weights(

@@ -75,6 +75,9 @@ class HashGridSpec:
     max_table_rows: int = 16384
     # brick-impl fine-level row override (see BrickGridSpec.fine_table_rows)
     fine_table_rows: int = 0
+    # brick-impl: re-gather rows in the backward instead of saving [N, 64F]
+    # residuals per level (see BrickGridSpec.remat_feats)
+    remat_feats: bool = False
 
     @property
     def log_b(self) -> float:

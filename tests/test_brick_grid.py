@@ -229,6 +229,37 @@ def test_variant_impls_match_default():
                                    rtol=5e-2, atol=2e-3, err_msg=name)
 
 
+def test_remat_feats_grads_identical():
+    """remat_feats re-gathers the same rows the forward used: bit-identical
+    value and gradients vs the residual-saving default, for both the
+    per-level path and the Pallas all-levels route."""
+    for impl_kw in ({}, {"interp_impl": "pallas", "scatter_impl": "fused"}):
+        spec = small_spec(n_levels=4, base_res=4, max_res=64,
+                          log2_hashmap_size=8, **impl_kw)
+        import dataclasses
+        spec_r = dataclasses.replace(spec, remat_feats=True)
+        params = spec.init_params(jax.random.PRNGKey(20))
+        n = 1024 if impl_kw else 128  # pallas route needs tile-divisible N
+        x = jax.random.uniform(jax.random.PRNGKey(21), (n, 3),
+                               minval=-0.05, maxval=1.05)
+
+        def loss(sp):
+            return lambda p, xx: jnp.sum(
+                jnp.sin(brick_encode(xx, p, sp).astype(jnp.float32)))
+
+        v0, (gp0, gx0) = jax.value_and_grad(loss(spec), argnums=(0, 1))(
+            params, x)
+        v1, (gp1, gx1) = jax.value_and_grad(loss(spec_r), argnums=(0, 1))(
+            params, x)
+        assert float(v0) == float(v1), impl_kw
+        for k in gp0:
+            np.testing.assert_array_equal(np.asarray(gp0[k]),
+                                          np.asarray(gp1[k]),
+                                          err_msg=f"{impl_kw}:{k}")
+        np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1),
+                                      err_msg=str(impl_kw))
+
+
 def test_4d_custom_vjp_matches_autodiff():
     """The analytic 4D backward (keyframe-split table grads, position grad,
     time grad) must match pure autodiff through the same forward math."""
