@@ -40,6 +40,9 @@ def main():
                     help="encoder interpolation impl for all arms")
     ap.add_argument("--compact", default="xla", choices=("xla", "pallas"),
                     help="budget-compaction impl for all arms")
+    ap.add_argument("--remat_feats", action="store_true",
+                    help="re-gather encoder rows in the backward (the "
+                         "memory enabler for >= 2M budgets)")
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="-1 sweeps {0, 8}; otherwise fixes the segment "
                          "length (0 = dense lattice)")
@@ -83,7 +86,8 @@ def main():
                 cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl,
                                             interp_impl=args.interp,
                                             compact_impl=args.compact,
-                                            march_seg=seg)
+                                            march_seg=seg,
+                                            remat_feats=args.remat_feats)
                 field_i = build_field(cfg_i, flags)
                 step_fn = make_train_step(field_i, cfg_i, flags,
                                           use_seg=seg > 0)

@@ -40,10 +40,10 @@ run eval_profile python tools/profile_eval.py --wh 256
 #     fine lattice ~budget-proportional (PERF_PLAN §"Path to 24M" item 2)
 run budget_big_seg8 python tools/profile_budget.py --iters 8 \
     --budgets 2097152,4194304 --impls fused --march_seg 8 \
-    --interp pallas --compact pallas
+    --interp pallas --compact pallas --remat_feats
 run budget_big_seg16 python tools/profile_budget.py --iters 8 \
     --budgets 2097152,4194304 --impls fused --march_seg 16 \
-    --interp pallas --compact pallas
+    --interp pallas --compact pallas --remat_feats
 
 # 4. current-default bench for a baseline r2 number (even if defaults
 #    change later, this anchors the log)
