@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
+    ap.add_argument("--remat_feats", action="store_true")
     ap.add_argument("--mini", action="store_true",
                     help="CPU-feasible shrink (wh 64, budget 16k, march 256, "
                          "table rows 2048/log2 16): preliminary A/B deltas "
@@ -103,6 +104,8 @@ def main():
         cfg = dataclasses.replace(cfg, fine_table_rows=args.fine_table_rows)
     if args.march_seg >= 0:
         cfg = dataclasses.replace(cfg, march_seg=args.march_seg)
+    if args.remat_feats:
+        cfg = dataclasses.replace(cfg, remat_feats=True)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
