@@ -876,13 +876,31 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
 
 
 def render_image(field, params, occ_state, render_chunk_fn, origins, viewdirs,
-                 timestamp, render_bkgd, chunk: int = 4096):
+                 timestamp, render_bkgd, chunk: int = 4096, mesh=None):
     """Host loop: render a full [H, W] image through the jitted chunk fn.
 
     Parity with render_image_test's output contract (rgb, opacity, depth)
     (cednerf/utils.py:313-318); the last chunk is padded to keep one compile.
+
+    mesh: optional jax.sharding.Mesh (axis "data") — rays are embarrassingly
+    parallel, so each chunk's rays are sharded across the mesh and GSPMD
+    partitions the chunk program (params/occupancy replicated). The chunk
+    size must be divisible by mesh.size.
     """
     import numpy as np
+
+    ray_sharding = rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert chunk % mesh.size == 0, (chunk, mesh.size)
+        ray_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        rep = NamedSharding(mesh, PartitionSpec())
+        put_rep = lambda x: jax.device_put(x, rep)
+        params = jax.tree_util.tree_map(put_rep, params)
+        occ_state = jax.tree_util.tree_map(put_rep, occ_state)
+        timestamp = jax.device_put(jnp.asarray(timestamp), rep)
+        render_bkgd = jax.device_put(jnp.asarray(render_bkgd), rep)
 
     shape = origins.shape[:-1]
     o = np.asarray(origins, np.float32).reshape(-1, 3)
@@ -898,8 +916,12 @@ def render_image(field, params, occ_state, render_chunk_fn, origins, viewdirs,
         if pad:
             co = np.pad(co, ((0, pad), (0, 0)))
             cd = np.pad(cd, ((0, pad), (0, 0)), constant_values=1.0)
-        out = render_chunk_fn(params, occ_state, jnp.asarray(co),
-                              jnp.asarray(cd), timestamp, render_bkgd)
+        co, cd = jnp.asarray(co), jnp.asarray(cd)
+        if ray_sharding is not None:
+            co = jax.device_put(co, ray_sharding)
+            cd = jax.device_put(cd, ray_sharding)
+        out = render_chunk_fn(params, occ_state, co, cd, timestamp,
+                              render_bkgd)
         pending.append((out, chunk - pad))
     rgbs, opacs, depths = [], [], []
     for (rgb, opac, depth), keep in pending:

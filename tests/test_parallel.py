@@ -162,3 +162,24 @@ def test_sharded_step_with_pallas_impls():
     _, m_pal = make_train_step(field_p, cfg_p, flags)(state_r, sharded, key)
     ref, pal = float(m_ref["loss"]), float(m_pal["loss"])
     assert abs(ref - pal) < 1e-3 * max(abs(ref), 1.0), (ref, pal)
+
+
+def test_sharded_eval_render_matches_single_device():
+    """render_image(mesh=...) shards chunk rays across the mesh; outputs
+    must match the unsharded render (same program, GSPMD-partitioned)."""
+    from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+
+    cfg, field, state, _ = _setup()
+    cfg = dataclasses.replace(cfg, eval_s_max=32)
+    scene = BallScene(wh=16)
+    img = scene.image_rays(0, 0.5)
+    fn = make_eval_render_fn(field, cfg)
+    args = (field, state.params, state.occ, fn,
+            img["origins"], img["viewdirs"], jnp.float32(0.5),
+            jnp.ones(3))
+    rgb0, op0, dep0 = render_image(*args, chunk=128)
+    mesh = make_mesh(8)
+    rgb1, op1, dep1 = render_image(*args, chunk=128, mesh=mesh)
+    np.testing.assert_allclose(rgb0, rgb1, atol=2e-5)
+    np.testing.assert_allclose(op0, op1, atol=2e-5)
+    np.testing.assert_allclose(dep0, dep1, atol=2e-4)
