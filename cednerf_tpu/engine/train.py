@@ -290,8 +290,14 @@ def make_train_step(field, cfg: SceneConfig, flags: ModelFlags,
 def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
                     n_rays: int, sample_fn, k_steps: int,
                     warmup_phase: bool = False,
-                    budget: Optional[int] = None):
+                    budget: Optional[int] = None, mesh=None):
     """K train steps per dispatch: lax.scan over the jitted step.
+
+    mesh: optional jax.sharding.Mesh (axis "data") — each step's sampled ray
+    batch is sharding-constrained to P("data"), so GSPMD partitions the
+    whole march/render/backward along rays and all-reduces the gradients
+    (state replicated; pair with cfg.compact_blocks == mesh.size to keep
+    the budget compaction shard-local).
 
     Amortizes host round-trip latency (measured ~30-40 ms/dispatch on a
     tunneled chip) and keeps ray sampling on-device. `sample_fn(data, key,
@@ -354,6 +360,15 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
             )
             state = state._replace(occ=occ)
             batch = sample_fn(data, k_batch, n_rays, i)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec("data"))
+                batch = jax.tree_util.tree_map(
+                    lambda x: (jax.lax.with_sharding_constraint(x, sh)
+                               if getattr(x, "ndim", 0) >= 1
+                               and x.shape[0] == n_rays else x),
+                    batch)
             return one_step(state, batch, k_step)
 
         state, metrics = jax.lax.scan(body, state, jnp.arange(k_steps))
@@ -371,7 +386,8 @@ class Trainer:
 
     def __init__(self, field, cfg: SceneConfig, flags: ModelFlags, dataset,
                  seed: int = 42, device_sampler=None, steps_per_call: int = 16,
-                 adapt_bucket: bool = True, stacked_host: bool = False):
+                 adapt_bucket: bool = True, stacked_host: bool = False,
+                 mesh=None):
         """device_sampler: optional (data_pytree, sample_fn) pair
         (engine/sampling.py) enabling the scanned multi-step fast path.
         stacked_host=True runs the same scanned path for host-sampling
@@ -382,7 +398,11 @@ class Trainer:
         so `resume` restores the step/bucket but not the sample sequence.
         adapt_bucket=False freezes the (n_rays, s_max) bucket after warmup —
         one steady-state program instead of one per visited bucket (used by
-        bench runs where compile count matters)."""
+        bench runs where compile count matters).
+        mesh: optional jax.sharding.Mesh (axis "data") for ray-sharded data
+        parallelism — state/sampler data replicated, each step's rays
+        sharded, gradients all-reduced by GSPMD (docs/PARALLELISM.md);
+        pair with cfg.compact_blocks == mesh.size."""
         self.field = field
         self.cfg = cfg
         self.flags = flags
@@ -402,6 +422,14 @@ class Trainer:
             from .sampling import make_stacked_sampler
 
             device_sampler = (None, make_stacked_sampler())
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self.state = replicate(self.state, mesh)
+            if device_sampler is not None and device_sampler[0] is not None:
+                device_sampler = (replicate(device_sampler[0], mesh),
+                                  device_sampler[1])
         self.device_sampler = device_sampler
         self.steps_per_call = steps_per_call
         self.adapt_bucket = adapt_bucket
@@ -432,6 +460,10 @@ class Trainer:
         n_rays = self.bucket
         batch = self.dataset.sample(n_rays, k_batch)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
         self.state, metrics = self._step_fn()(self.state, batch, k_step)
 
         # ray-count feedback (the reference's dynamic batch resize,
@@ -463,7 +495,7 @@ class Trainer:
             data, sample_fn = self.device_sampler
             self._loop_fns[keyed] = make_train_loop(
                 self.field, self.cfg, self.flags, n_rays, sample_fn,
-                self.steps_per_call, warmup_phase=warmup,
+                self.steps_per_call, warmup_phase=warmup, mesh=self.mesh,
             )
         return self._loop_fns[keyed]
 

@@ -183,3 +183,24 @@ def test_sharded_eval_render_matches_single_device():
     np.testing.assert_allclose(rgb0, rgb1, atol=2e-5)
     np.testing.assert_allclose(op0, op1, atol=2e-5)
     np.testing.assert_allclose(dep0, dep1, atol=2e-4)
+
+
+def test_trainer_mesh_matches_single_device():
+    """Trainer(mesh=...) runs the scanned device-sampler loop ray-sharded;
+    with budget >= demand and equal seeds the loss trajectory matches the
+    unsharded Trainer to GSPMD reduction-order tolerance."""
+    from cednerf_tpu.engine.train import Trainer
+
+    cfg, field, _, _ = _setup()
+    flags = ModelFlags()
+    scene = BallScene(wh=32)
+
+    def run(mesh):
+        tr = Trainer(field, cfg, flags, scene, seed=3,
+                     device_sampler=scene.device_sampler(),
+                     steps_per_call=4, mesh=mesh)
+        return [tr.run_chunk()["loss"] for _ in range(2)]
+
+    l0 = run(None)
+    l1 = run(make_mesh(8))
+    np.testing.assert_allclose(l0, l1, rtol=2e-4)

@@ -53,6 +53,10 @@ def main():
                         help="DyNeRF: switch ISG->IST importance sampling at "
                              "this step (reference dnerf_3d_video_IS.py:308 "
                              "switch_to_ist; 0 = never)")
+    parser.add_argument("--dp", action="store_true",
+                        help="ray-sharded data parallelism over all attached "
+                             "devices (jax.sharding mesh; gradients GSPMD-"
+                             "all-reduced; docs/PARALLELISM.md)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of 64 steady-state "
                              "steps into this directory (inspect with "
@@ -132,9 +136,19 @@ def main():
         # stacked host batches, double-buffered against device compute
         device_sampler = (train_dataset.device_sampler()
                           if hasattr(train_dataset, "device_sampler") else None)
+        mesh = None
+        if args.dp:
+            import dataclasses
+
+            from cednerf_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            # shard-local budget compaction (one block per device)
+            cfg = dataclasses.replace(cfg, compact_blocks=mesh.size)
+            print(f"data parallel over {mesh.size} device(s)")
         trainer = Trainer(field, cfg, flags, train_dataset, seed=42,
                           device_sampler=device_sampler,
-                          stacked_host=device_sampler is None)
+                          stacked_host=device_sampler is None, mesh=mesh)
 
         if args.scene in DYNERF_SCENES and (args.gui or args.mark_invisible):
             # frustum-cull the occupancy grid (reference train_real.py:205-211)
