@@ -108,8 +108,8 @@ class BrickGridSpec:
     # them as VJP residuals. The residuals cost N * 64F * 2 B * n_levels of
     # HBM (≈ 4 GB per 1M samples at L8F4) — binding at the 2-4M-sample
     # budgets of the throughput ladder — while the re-gather is one extra
-    # row gather per level (~0.5 ms marginal each on v5e). 3D levels only
-    # (the 4D keyframe path always saves its lerped rows).
+    # row gather per level (~0.5 ms marginal each on v5e; two for the 4D
+    # keyframe path, whose saved lo/hi rows are 2x the 3D footprint).
     remat_feats: bool = False
 
     @property
@@ -826,7 +826,8 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                           n_feat: int, keyframes: int, dtype_name: str,
                           table_dtype_name: str = "float32",
                           accum_dtype_name: str = "float32",
-                          scatter_impl: str = "xla"):
+                          scatter_impl: str = "xla",
+                          remat_feats: bool = False):
     """Analytic custom-VJP 4D level encode: (flat [rows*K, 64F], x, t) -> [N, F].
 
     Keyframe-lerped brick rows (lerp(table[row,k], table[row,k+1], t_frac)
@@ -880,6 +881,10 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
         return fwd_impl(flat, x, t)[0]
 
     def fwd(flat, x, t):
+        if remat_feats:
+            # re-gather lo/hi in the backward: the saved keyframe rows are
+            # 2x the 3D residual footprint ([N, W] each)
+            return fwd_impl(flat, x, t)[0], (x, t, flat)
         out, lo, hi = fwd_impl(flat, x, t)
         return out, (x, t, lo, hi)
 
@@ -888,9 +893,15 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                       n_feat, W)
 
     def bwd(res, g):
-        x, t, lo, hi = res
+        x, t, *tf = res
         rows, intra, frac, ok = geom(x)
         idx_lo, t_frac = time_geom(t)
+        if remat_feats:
+            fl = tf[0].astype(cdtype)
+            lo = jnp.take(fl, rows * K + idx_lo, axis=0)
+            hi = jnp.take(fl, rows * K + idx_lo + 1, axis=0)
+        else:
+            lo, hi = tf
         (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
         w_row = wx * wy * wz
         expand = jnp.asarray(_expand_np, cdtype)
@@ -1019,7 +1030,8 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             enc = _make_level_encode_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],
                 lay["rows"], f, k, jnp.dtype(compute_dtype).name,
-                flat.dtype.name, spec.grad_accum_dtype, spec.scatter_impl)
+                flat.dtype.name, spec.grad_accum_dtype, spec.scatter_impl,
+                spec.remat_feats)
             outs.append(enc(flat, x, t))
             continue
         rows, w = _level_rows_and_weights(x, lvl, lay, spec, full_width=True,

@@ -233,19 +233,22 @@ def test_remat_feats_grads_identical():
     """remat_feats re-gathers the same rows the forward used: bit-identical
     value and gradients vs the residual-saving default, for both the
     per-level path and the Pallas all-levels route."""
-    for impl_kw in ({}, {"interp_impl": "pallas", "scatter_impl": "fused"}):
+    for impl_kw in ({}, {"interp_impl": "pallas", "scatter_impl": "fused"},
+                    {"time_keyframes": 4}):
         spec = small_spec(n_levels=4, base_res=4, max_res=64,
                           log2_hashmap_size=8, **impl_kw)
         import dataclasses
         spec_r = dataclasses.replace(spec, remat_feats=True)
         params = spec.init_params(jax.random.PRNGKey(20))
-        n = 1024 if impl_kw else 128  # pallas route needs tile-divisible N
+        n = 1024 if "interp_impl" in impl_kw else 128  # pallas needs tiles
         x = jax.random.uniform(jax.random.PRNGKey(21), (n, 3),
                                minval=-0.05, maxval=1.05)
+        t = (jax.random.uniform(jax.random.PRNGKey(22), (n, 1))
+             if "time_keyframes" in impl_kw else None)
 
         def loss(sp):
             return lambda p, xx: jnp.sum(
-                jnp.sin(brick_encode(xx, p, sp).astype(jnp.float32)))
+                jnp.sin(brick_encode(xx, p, sp, t=t).astype(jnp.float32)))
 
         v0, (gp0, gx0) = jax.value_and_grad(loss(spec), argnums=(0, 1))(
             params, x)
