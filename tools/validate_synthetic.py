@@ -84,9 +84,11 @@ def main():
     wh = 128
     if args.mini:
         wh = 64
+        # render_step_size scales with the march-step cut so rays still
+        # cover the full aabb diagonal (3*sqrt(3) / 2e-2 ~= 260 steps)
         cfg = dataclasses.replace(
             cfg, target_sample_batch_size=16384, max_march_steps=256,
-            grid_resolution=64, max_table_rows=2048,
+            render_step_size=2e-2, grid_resolution=64, max_table_rows=2048,
             log2_hashmap_size=16, occ_warmup_steps=64)
     if args.log2:
         cfg = dataclasses.replace(cfg, log2_hashmap_size=args.log2)
