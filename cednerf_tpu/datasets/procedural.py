@@ -49,6 +49,12 @@ class BallScene:
     def timestamps_pool(self):
         return self.times.reshape(-1, 1)
 
+    def _render_gt(self, origins, viewdirs, t):
+        # subclasses override with their own analytic renderer; image_rays/
+        # eval_view must dispatch through this so train-view GT matches the
+        # scene actually trained on
+        return render_gt(origins, viewdirs, t)
+
     def sample(self, num_rays: int, key=None) -> dict:
         rng = self._rng
         cam = rng.integers(0, len(self.c2ws), num_rays)
@@ -124,7 +130,7 @@ class BallScene:
         x, y = x.reshape(-1), y.reshape(-1)
         c2ws = np.broadcast_to(c2w, (x.shape[0], 3, 4))
         origins, viewdirs, _ = pinhole_rays(x, y, self.K, c2ws, True)
-        gt = render_gt(origins, viewdirs, t)
+        gt = self._render_gt(origins, viewdirs, t)
         wh = self.wh
         return (gt.reshape(wh, wh, 3), origins.reshape(wh, wh, 3),
                 viewdirs.reshape(wh, wh, 3))
@@ -135,7 +141,7 @@ class BallScene:
         x, y = x.reshape(-1), y.reshape(-1)
         c2w = np.broadcast_to(self.c2ws[cam], (x.shape[0], 3, 4))
         origins, viewdirs, _ = pinhole_rays(x, y, self.K, c2w, True)
-        pixels = render_gt(origins, viewdirs, t)
+        pixels = self._render_gt(origins, viewdirs, t)
         return {
             "origins": origins.reshape(self.wh, self.wh, 3),
             "viewdirs": viewdirs.reshape(self.wh, self.wh, 3),
@@ -200,20 +206,6 @@ class BallCloudScene(BallScene):
             "timestamps": t.reshape(-1, 1),
             "color_bkgd": BG.copy(),
         }
-
-    def eval_view(self, theta: float, t: float):
-        pos = np.array([3.0 * np.cos(theta), 3.0 * np.sin(theta), 1.0],
-                       np.float32)
-        c2w = viewmatrix(pos, np.array([0.0, 0, 1]), pos).astype(np.float32)
-        x, y = np.meshgrid(np.arange(self.wh, dtype=np.float32),
-                           np.arange(self.wh, dtype=np.float32), indexing="xy")
-        x, y = x.reshape(-1), y.reshape(-1)
-        c2ws = np.broadcast_to(c2w, (x.shape[0], 3, 4))
-        origins, viewdirs, _ = pinhole_rays(x, y, self.K, c2ws, True)
-        gt = self._render_gt(origins, viewdirs, t)
-        wh = self.wh
-        return (gt.reshape(wh, wh, 3), origins.reshape(wh, wh, 3),
-                viewdirs.reshape(wh, wh, 3))
 
     def device_sampler(self):
         import jax

@@ -323,6 +323,23 @@ def test_textured_cloud_scene_device_matches_host():
     assert len(np.unique(np.round(hits, 3), axis=0)) > 8
 
 
+def test_image_rays_gt_dispatches_to_subclass_scene():
+    """image_rays must render GT with the subclass's analytic scene, not the
+    base single-ball one (regression: train-view PSNR against wrong GT)."""
+    from synthetic_scene import TexturedCloudScene
+
+    scene = TexturedCloudScene(n_cams=4, wh=32, n_times=4, n_balls=16)
+    tv = scene.image_rays(0, float(scene.times[1]))
+    want = scene._render_gt(tv["origins"].reshape(-1, 3),
+                            tv["viewdirs"].reshape(-1, 3),
+                            float(scene.times[1]))
+    np.testing.assert_allclose(tv["pixels"].reshape(-1, 3), want, atol=1e-6)
+    # cam 0 sits at theta=0 on the same ring eval_view uses
+    gt, origins, _ = scene.eval_view(theta=0.0, t=float(scene.times[1]))
+    np.testing.assert_allclose(tv["pixels"], gt, atol=1e-6)
+    np.testing.assert_allclose(tv["origins"], origins, atol=1e-6)
+
+
 def test_se3_twist_roundtrip_matches_scipy():
     """poses_to_twists/twists_to_poses == scipy logm/expm (the reference's
     implementation, pose_ulils.py:274-356), incl. near-pi rotations."""
