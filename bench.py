@@ -26,7 +26,27 @@ BASELINE_SAMPLES_PER_SEC = 12e6
 # CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576,
 #                     "scatter_impl": "fused"}' python bench.py
 # Values land on SceneConfig via dataclasses.replace; unknown keys fail fast.
+# With the env var unset, a repo-root bench_defaults.json (written by
+# tools/pick_bench_defaults.py from the measurement queue's combo benches)
+# supplies the overrides — so an unattended queue run can promote its
+# winning combo without a code change.
 _CFG_ENV = "CEDNERF_BENCH_CFG"
+_CFG_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_defaults.json")
+
+
+def _load_overrides():
+    env = os.environ.get(_CFG_ENV)
+    if env is not None:
+        return json.loads(env)
+    if os.path.exists(_CFG_FILE):
+        with open(_CFG_FILE) as f:
+            picked = json.load(f)
+        print(f"# bench: using bench_defaults.json ({picked.get('source')}, "
+              f"{picked.get('value')} samples/s when picked)",
+              file=sys.stderr, flush=True)
+        return picked["cfg"]
+    return {}
 
 
 def main():
@@ -64,7 +84,7 @@ def main():
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
     )
     cfg = dnerf_config(max_steps=100000)
-    overrides = json.loads(os.environ.get(_CFG_ENV, "{}"))
+    overrides = _load_overrides()
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
         print(f"# bench: cfg overrides {overrides}", file=sys.stderr,

@@ -10,10 +10,13 @@ OUT=${1:-/tmp/tpu_session}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-run() {
-  local name=$1; shift
+run() {  # run <name> <cmd...>; runT <seconds> <name> <cmd...> for slow stages
+  runT 5400 "$@"
+}
+runT() {
+  local tmo=$1 name=$2; shift 2
   echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
-  timeout 5400 "$@" > "$OUT/$name.log" 2>&1
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
   echo "=== $name rc=$? ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 }
 
@@ -58,16 +61,24 @@ run bench_fused_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "target_samp
 run bench_pallas_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "interp_impl": "pallas", "compact_impl": "pallas", "target_sample_batch_size": 1048576}' \
     python bench.py
 
-# 6. quality gates at the candidate budget (equal-step PSNR, procedural)
+# 6. quality gates at the candidate budget (equal-step PSNR, procedural,
+#    same scene/steps so the two arms are directly comparable)
+run val_default python tools/validate_synthetic.py --steps 2000 \
+    --out "$OUT/val_default"
 run val_1m python tools/validate_synthetic.py --steps 2000 \
     --budget 1048576 --scatter_impl fused --out "$OUT/val_1m"
 
+# 6b. promote the winning combo for unattended driver bench runs
+#     (bench.py reads bench_defaults.json when CEDNERF_BENCH_CFG is unset)
+run pick_defaults python tools/pick_bench_defaults.py "$OUT"
+
 # 7. encoder-divergence texture A/B (VERDICT r1 #3): brick L8F4 default vs
-#    reference-exact per-corner L16F2 @ 2^21 — 20k steps each
+#    reference-exact per-corner L16F2 @ 2^21 — 20k steps each. The gather
+#    arm runs the slow per-corner encoder (~0.5 s/step) — give it 5 h.
 run texture_brick python tools/validate_synthetic.py --steps 20000 \
     --scene texture --levels 8 --features 4 --impl brick \
     --out "$OUT/texture_brick"
-run texture_ref python tools/validate_synthetic.py --steps 20000 \
+runT 18000 texture_ref python tools/validate_synthetic.py --steps 20000 \
     --scene texture --levels 16 --features 2 --impl gather --log2 21 \
     --out "$OUT/texture_ref"
 
