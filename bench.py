@@ -50,6 +50,18 @@ def _load_overrides():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--shape", choices=("dnerf", "dynerf"), default="dnerf",
+        help="dnerf (default, the driver-recorded number): 2^18 budget, "
+             "on-device sampling. dynerf: 2^20 budget with HOST-assembled "
+             "batches through the stacked scanned path — the real-dataset "
+             "shape (DyNeRF ISG/IST batches are host/native-sampled), so it "
+             "also measures host-assembly/device-compute overlap.")
+    args = ap.parse_args()
+
     # Fail fast if the TPU tunnel is down (first seen 2026-08-18: backend
     # init blocks forever in C and ignores signals) — probe in a killable
     # subprocess first; a clear nonzero exit beats a silent hang.
@@ -75,7 +87,7 @@ def main():
     from synthetic_scene import BallCloudScene
 
     from cednerf_tpu.engine.cli import build_field
-    from cednerf_tpu.engine.config import ModelFlags, dnerf_config
+    from cednerf_tpu.engine.config import ModelFlags, dnerf_config, dynerf_config
     from cednerf_tpu.engine.train import Trainer
 
     # Flagship flags (the published combination -te -ta -f -ae -df -d).
@@ -83,7 +95,8 @@ def main():
         use_div_offsets=True, use_feat_predict=True, use_time_embedding=True,
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
     )
-    cfg = dnerf_config(max_steps=100000)
+    cfg = (dnerf_config if args.shape == "dnerf" else dynerf_config)(
+        max_steps=100000)
     overrides = _load_overrides()
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
@@ -94,8 +107,16 @@ def main():
     # steady state — comparable per-ray load to the reference's real captures
     scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
 
-    trainer = Trainer(field, cfg, flags, scene, seed=0,
-                      device_sampler=scene.device_sampler(), steps_per_call=32)
+    if args.shape == "dynerf":
+        # real-dataset shape: batches assembled on the host (like the DyNeRF
+        # ISG/IST loader's native sampler) and double-buffered into the
+        # scanned loop — measures sampling overlap, not just device compute
+        trainer = Trainer(field, cfg, flags, scene, seed=0,
+                          stacked_host=True, steps_per_call=32)
+    else:
+        trainer = Trainer(field, cfg, flags, scene, seed=0,
+                          device_sampler=scene.device_sampler(),
+                          steps_per_call=32)
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "
@@ -140,8 +161,9 @@ def main():
         print(f"# window {window}: {total_samples / elapsed:.0f} samples/s",
               file=sys.stderr, flush=True)
     samples_per_sec = sum(rates) / len(rates)
+    suffix = "" if args.shape == "dnerf" else f"_{args.shape}"
     print(json.dumps({
-        "metric": "train_samples_per_sec",
+        "metric": "train_samples_per_sec" + suffix,
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),

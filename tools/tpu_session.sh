@@ -61,6 +61,11 @@ run bench_fused_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "target_samp
 run bench_pallas_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "interp_impl": "pallas", "compact_impl": "pallas", "target_sample_batch_size": 1048576}' \
     python bench.py
 
+# 5b. real-dataset shape: 2^20 budget, host-assembled double-buffered
+#     batches (DyNeRF-like; VERDICT r1 item 4's bench). Distinct metric
+#     name — the picker only reads train_samples_per_sec rows.
+run bench_dynerf_shape python bench.py --shape dynerf
+
 # 6. quality gates at the candidate budget (equal-step PSNR, procedural,
 #    same scene/steps so the two arms are directly comparable)
 run val_default python tools/validate_synthetic.py --steps 2000 \
