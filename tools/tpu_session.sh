@@ -87,5 +87,12 @@ runT 18000 texture_ref python tools/validate_synthetic.py --steps 20000 \
     --scene texture --levels 16 --features 2 --impl gather --log2 21 \
     --out "$OUT/texture_ref"
 
+# 8. PERF_PLAN L3 quality gate: 4 levels x 8 features halves scatter count
+#    (-40% scatter time on the XLA path) — adoptable only if the texture
+#    scene holds PSNR vs the 8x4 default (texture_brick above)
+run texture_l4f8 python tools/validate_synthetic.py --steps 20000 \
+    --scene texture --levels 4 --features 8 --impl brick \
+    --out "$OUT/texture_l4f8"
+
 echo "QUEUE DONE — read $OUT/*.log, pick defaults, re-run bench.py" \
   | tee -a "$OUT/queue.log"
