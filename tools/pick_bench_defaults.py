@@ -48,9 +48,11 @@ def main():
     ap.add_argument("outdir", type=pathlib.Path)
     ap.add_argument("--gate_db", type=float, default=0.3)
     ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--repo_root", type=pathlib.Path,
+                    default=pathlib.Path(__file__).resolve().parent.parent)
     args = ap.parse_args()
 
-    repo = pathlib.Path(__file__).resolve().parent.parent
+    repo = args.repo_root
     runs = {}
     for log in sorted(args.outdir.glob("bench_*.log")):
         parsed = parse_bench_log(log)
