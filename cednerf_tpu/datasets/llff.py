@@ -16,6 +16,8 @@ Math parity with the reference's datasets/pose_ulils.py (sic):
 
 import numpy as np
 
+from .rays import viewmatrix
+
 
 def _normalize(v):
     return v / np.linalg.norm(v)
@@ -57,6 +59,131 @@ def correct_poses_bounds(poses, bounds, flip=True, center=True):
     else:
         ref = poses[0]
     return poses, ref, bounds
+
+
+def center_poses_with(poses, train_poses, avg_pose=None):
+    """Center `poses` by the average of `train_poses` (pose_ulils.py:62-78).
+
+    When `avg_pose` (an inverse 4x4) is given it is applied directly — the
+    reference uses this to re-apply a previously computed centering to a
+    second split.
+    """
+    if avg_pose is None:
+        pose_avg_homo = np.eye(4)
+        pose_avg_homo[:3] = average_poses_llff(train_poses)
+        inv_pose = np.linalg.inv(pose_avg_homo)
+    else:
+        inv_pose = np.array(avg_pose, copy=True)
+    centered = np.einsum("ij,njk->nik", inv_pose, p34_to_44(poses))[:, :3]
+    return centered, inv_pose
+
+
+def center_poses_with_rotation_only(poses, train_poses):
+    """Like center_poses_with but aligns rotation only — the average
+    translation is left in place (pose_ulils.py:80-92)."""
+    pose_avg_homo = np.eye(4)
+    pose_avg_homo[:3, :3] = average_poses_llff(train_poses)[:3, :3]
+    inv_pose = np.linalg.inv(pose_avg_homo)
+    centered = np.einsum("ij,njk->nik", inv_pose, p34_to_44(poses))[:, :3]
+    return centered, inv_pose
+
+
+def center_poses_reference(poses):
+    """Center about the *actual camera* closest to the average pose rather
+    than the synthetic average itself (pose_ulils.py:94-112)."""
+    pose_avg = average_poses_llff(poses)
+    poses_homo = p34_to_44(poses)
+    dists = np.sum(np.square(pose_avg[:3, 3] - poses[:, :3, 3]), -1)
+    ref = poses_homo[np.argmin(dists)]
+    inv_pose = np.linalg.inv(ref)
+    centered = np.einsum("ij,njk->nik", inv_pose, poses_homo)[:, :3]
+    return centered, inv_pose
+
+
+# ----------------------------------------------------------------------- #
+# Render-path generators (pose_ulils.py:114-227). Vectorized over the
+# frame axis instead of the reference's per-frame Python loops.
+# ----------------------------------------------------------------------- #
+
+
+def create_spiral_poses(poses, rads, focal, n_frames=120, flip=False):
+    """LLFF-style spiral about the average pose (pose_ulils.py:162-183).
+
+    Note: the reference's `rads += np.array(list(rads) + [1.])` is a shape
+    bug (3 += 4) — the intent, as in create_rotating_spiral_poses, is to
+    append the homogeneous 1; implemented that way here (bug documented,
+    not reproduced). Unused by the reference pipelines (its DyNeRF loader
+    calls generate_spiral_path instead) but part of the public surface.
+    """
+    c2w = average_poses_llff(poses)
+    up = _normalize(poses[:, :3, 1].sum(0))
+    rads = np.append(np.asarray(rads, np.float64), 1.0)
+    thetas = np.linspace(0.0, 2.0 * np.pi * 2, n_frames + 1)[:-1]
+    circ = np.stack([np.cos(thetas), -np.sin(thetas),
+                     -np.sin(thetas * 0.5), np.ones_like(thetas)], -1)
+    centers = circ * rads @ c2w[:3, :4].T                       # [n, 3]
+    focus = c2w[:3, :4] @ np.array([0, 0, focal if flip else -focal, 1.0])
+    out = []
+    for c in centers:
+        z = _normalize((focus - c) if flip else (c - focus))
+        out.append(viewmatrix(z, up, c))
+    return out
+
+
+def create_rotating_spiral_poses(camera_offset, poses, pose_rad, spiral_rads,
+                                 focal, theta_range, n_frames=240, rots=4):
+    """Cylindrical orbit whose camera additionally spirals about its own
+    center (pose_ulils.py:114-160)."""
+    camera_offset = np.asarray(camera_offset, np.float64)
+    up = _normalize(poses[:, :3, 1].sum(0))
+    spiral_rads = np.append(np.asarray(spiral_rads, np.float64), 1.0)
+    pose_thetas = np.linspace(np.pi * theta_range[0], np.pi * theta_range[1],
+                              n_frames, endpoint=False)
+    spiral_thetas = np.linspace(0.0, 2.0 * np.pi * rots, n_frames,
+                                endpoint=False)
+    out = []
+    for pt, st in zip(pose_thetas, spiral_thetas):
+        center = np.array([np.sin(pt) * pose_rad, 0.0,
+                           -np.cos(pt) * pose_rad])
+        c2w = viewmatrix(-center, up, center + camera_offset)
+        c = c2w[:3, :4] @ (np.array([np.cos(st), -np.sin(st),
+                                     -np.sin(st * 0.5), 1.0]) * spiral_rads)
+        z = _normalize(c - c2w[:3, :4] @ np.array([0, 0, -focal, 1.0]))
+        out.append(viewmatrix(z, up, c))
+    return out
+
+
+def create_spherical_poses(radius, n_poses=120, phi=-np.pi / 5):
+    """Inward-looking ring of poses on a sphere, 36 degrees downward by
+    default (pose_ulils.py:185-227). Returns [n, 3, 4]."""
+    thetas = np.linspace(0, 2 * np.pi, n_poses + 1)[:-1]
+    trans = np.eye(4)
+    trans[1, 3] = -0.9 * radius
+    trans[2, 3] = radius
+    rot_phi = np.eye(4)
+    rot_phi[1, 1] = rot_phi[2, 2] = np.cos(phi)
+    rot_phi[1, 2], rot_phi[2, 1] = -np.sin(phi), np.sin(phi)
+    flip = np.array([[-1, 0, 0, 0], [0, 0, 1, 0],
+                     [0, 1, 0, 0], [0, 0, 0, 1.0]])
+    out = []
+    for th in thetas:
+        rot_theta = np.eye(4)
+        rot_theta[0, 0] = rot_theta[2, 2] = np.cos(th)
+        rot_theta[0, 2], rot_theta[2, 0] = -np.sin(th), np.sin(th)
+        out.append((flip @ rot_theta @ rot_phi @ trans)[:3])
+    return np.stack(out, 0)
+
+
+def get_bounding_sphere(poses):
+    """Max camera distance from the origin (pose_ulils.py:258-260)."""
+    return np.linalg.norm(poses[:, :3, -1], axis=-1).max()
+
+
+def get_bounding_box(poses):
+    """[min_xyz, max_xyz] of the camera centers (pose_ulils.py:262-267)."""
+    lo = poses[:, :3, -1].min(0)
+    hi = poses[:, :3, -1].max(0)
+    return [lo[0], lo[1], lo[2], hi[0], hi[1], hi[2]]
 
 
 # ----------------------------------------------------------------------- #

@@ -423,3 +423,81 @@ def test_switch_to_ist_bootstraps_missing_weights(tmp_path):
         os.path.join(root, "cook_spinach", "ist_weights_f4.npy"))
     batch = ds.sample(64)
     assert batch["origins"].shape == (64, 3)
+
+
+def test_pose_centering_variants():
+    """center_poses_with / rotation-only / reference (pose_ulils.py:62-112)."""
+    from cednerf_tpu.datasets.llff import (average_poses_llff,
+                                           center_poses,
+                                           center_poses_reference,
+                                           center_poses_with,
+                                           center_poses_with_rotation_only)
+
+    rng = np.random.default_rng(11)
+    poses = []
+    for _ in range(6):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        poses.append(np.concatenate([R, rng.normal(size=(3, 1))], 1))
+    poses = np.stack(poses)
+
+    # with train_poses == poses, center_poses_with == center_poses
+    a, inv_a = center_poses(poses)
+    b, inv_b = center_poses_with(poses, poses)
+    np.testing.assert_allclose(a, b, atol=1e-10)
+    np.testing.assert_allclose(inv_a, inv_b, atol=1e-10)
+    # a provided avg_pose is applied verbatim
+    c, inv_c = center_poses_with(poses, poses[:1], avg_pose=inv_a)
+    np.testing.assert_allclose(c, a, atol=1e-10)
+
+    # rotation-only: same rotations as full centering, translations differ
+    # by exactly the (rotated) average translation
+    d, _ = center_poses_with_rotation_only(poses, poses)
+    np.testing.assert_allclose(d[:, :3, :3], a[:, :3, :3], atol=1e-9)
+    assert not np.allclose(d[..., 3], a[..., 3])
+
+    # reference centering: the selected camera lands exactly at identity
+    e, inv_e = center_poses_reference(poses)
+    avg = average_poses_llff(poses)
+    k = np.argmin(np.sum(np.square(avg[:3, 3] - poses[:, :3, 3]), -1))
+    np.testing.assert_allclose(e[k], np.eye(4)[:3], atol=1e-10)
+
+
+def test_render_path_generators():
+    """create_spiral/rotating_spiral/spherical poses (pose_ulils.py:114-227)."""
+    from cednerf_tpu.datasets.llff import (create_rotating_spiral_poses,
+                                           create_spherical_poses,
+                                           create_spiral_poses,
+                                           get_bounding_box,
+                                           get_bounding_sphere)
+
+    poses = np.stack(
+        [np.concatenate([np.eye(3), [[np.cos(t)], [np.sin(t)], [4.0]]], 1)
+         for t in np.linspace(0, 2 * np.pi, 8, endpoint=False)])
+
+    sp = np.stack(create_spiral_poses(poses, [0.5, 0.5, 0.2], focal=4.0,
+                                      n_frames=24))
+    assert sp.shape == (24, 3, 4)
+    rot = np.stack(create_rotating_spiral_poses(
+        [0, 0, 0], poses, pose_rad=2.0, spiral_rads=[0.3, 0.3, 0.1],
+        focal=4.0, theta_range=(-0.5, 0.5), n_frames=16))
+    assert rot.shape == (16, 3, 4)
+    sph = create_spherical_poses(radius=3.0, n_poses=12)
+    assert sph.shape == (12, 3, 4)
+    for arr in (sp, rot, sph):
+        RtR = np.einsum("nij,nik->njk", arr[:, :3, :3], arr[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
+                                   atol=1e-6)
+    # spherical centers all sit on the same sphere
+    r = np.linalg.norm(sph[..., 3], axis=-1)
+    np.testing.assert_allclose(r, r[0], rtol=1e-6)
+
+    box = get_bounding_box(poses)
+    assert len(box) == 6 and box[0] <= box[3]
+    assert get_bounding_sphere(poses) >= np.abs(poses[:, :3, 3]).max() - 1e-9
