@@ -34,6 +34,65 @@ _CFG_ENV = "CEDNERF_BENCH_CFG"
 _CFG_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_defaults.json")
 
+# Fallback ladder for the unattended driver run when the measurement queue
+# never got to promote a winner (bench_defaults.json absent, no env cfg):
+# attempt the model-predicted best config (PERF_PLAN L2/L4: fixed per-op
+# floors dominate at 2^18, so a 1M-sample budget with segment marching to
+# keep the fine lattice ~budget-proportional and remat'd encoder residuals
+# amortizes them) in a bounded subprocess; on OOM/timeout/any failure fall
+# back to the measured-safe baked default. Every knob here is CPU-verified
+# (tests/test_march_segments.py, test_impl_combos.py) and uses only XLA
+# impls — no Pallas kernels that lack a real-Mosaic numerics check.
+_LADDER_ENV = "CEDNERF_BENCH_LADDER"
+_LADDER_CANDIDATE = {
+    "target_sample_batch_size": 1 << 20,
+    "march_seg": 8,
+    "remat_feats": True,
+}
+_LADDER_TIMEOUT_S = 1500
+
+
+def _json_result_line(text):
+    """Last parseable JSON object line of a bench child's stdout, or None."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(out, dict) and "value" in out:
+                return out
+    return None
+
+
+def _try_ladder_candidate(shape):
+    """Run this script with the candidate cfg in a killable subprocess.
+
+    Returns the child's parsed result dict, or None on any failure — the
+    caller then runs the safe default in-process.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env[_CFG_ENV] = json.dumps(_LADDER_CANDIDATE)
+    env[_LADDER_ENV] = "0"  # no recursion
+    print(f"# bench: attempting ladder candidate {_LADDER_CANDIDATE} "
+          f"(timeout {_LADDER_TIMEOUT_S}s)", file=sys.stderr, flush=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--shape", shape],
+            timeout=_LADDER_TIMEOUT_S, env=env, stdout=subprocess.PIPE)
+    except subprocess.TimeoutExpired:
+        print("# bench: ladder candidate timed out — falling back",
+              file=sys.stderr, flush=True)
+        return None
+    if proc.returncode != 0:
+        print(f"# bench: ladder candidate rc={proc.returncode} — falling "
+              "back", file=sys.stderr, flush=True)
+        return None
+    return _json_result_line(proc.stdout.decode())
+
 
 def _load_overrides():
     env = os.environ.get(_CFG_ENV)
@@ -78,6 +137,16 @@ def main():
         print("# bench: TPU backend init probe failed — tunnel down?",
               file=sys.stderr, flush=True)
         sys.exit(3)
+
+    # Ladder only when nothing supplied a measured config (child runs carry
+    # CEDNERF_BENCH_CFG, so they never re-enter).
+    if (os.environ.get(_LADDER_ENV, "1") != "0"
+            and os.environ.get(_CFG_ENV) is None
+            and not os.path.exists(_CFG_FILE)):
+        result = _try_ladder_candidate(args.shape)
+        if result is not None:
+            print(json.dumps(result))
+            return
     import jax
 
     from cednerf_tpu.utils import enable_compile_cache
@@ -100,8 +169,10 @@ def main():
     overrides = _load_overrides()
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
-        print(f"# bench: cfg overrides {overrides}", file=sys.stderr,
-              flush=True)
+        # json.dumps, not repr — tools/pick_bench_defaults.py parses this
+        # line back, and Python's True/False aren't valid JSON
+        print(f"# bench: cfg overrides {json.dumps(overrides)}",
+              file=sys.stderr, flush=True)
     field = build_field(cfg, flags)
     # dense dynamic scene: ~50% of rays hit geometry, tens of samples/ray in
     # steady state — comparable per-ray load to the reference's real captures

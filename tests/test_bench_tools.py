@@ -111,3 +111,73 @@ def test_bench_load_overrides(tmp_path, monkeypatch):
     (tmp_path / "bd.json").write_text(json.dumps(
         {"cfg": {"scatter_impl": "fused"}, "source": "t", "value": 1}))
     assert bench._load_overrides() == {"scatter_impl": "fused"}
+
+
+def test_bench_ladder_json_line_parsing():
+    bench = _load("bench_mod2", REPO / "bench.py")
+    good = json.dumps({"metric": "train_samples_per_sec", "value": 4.2e6,
+                       "unit": "samples/s", "vs_baseline": 0.35})
+    text = "# warmup\n{not json\n" + good + "\n# trailing comment\n"
+    out = bench._json_result_line(text)
+    assert out["value"] == 4.2e6
+    assert bench._json_result_line("# nothing here\n") is None
+    # dict lines without a value key are skipped
+    assert bench._json_result_line('{"metric": "x"}\n') is None
+
+
+def test_bench_ladder_candidate_cfg_is_valid(monkeypatch):
+    """The ladder's candidate must be applicable to the bench SceneConfig —
+    a typo'd knob would make the unattended fallback path crash instead of
+    measuring (dataclasses.replace raises on unknown fields)."""
+    import dataclasses
+
+    bench = _load("bench_mod3", REPO / "bench.py")
+    from cednerf_tpu.engine.config import dnerf_config
+
+    cfg = dataclasses.replace(dnerf_config(max_steps=1),
+                              **bench._LADDER_CANDIDATE)
+    assert cfg.target_sample_batch_size == 1 << 20
+    assert cfg.march_seg == 8 and cfg.remat_feats
+
+
+def test_bench_ladder_subprocess_contract(tmp_path, monkeypatch):
+    """_try_ladder_candidate must pass the cfg via env, disable recursion,
+    and surface the child's final JSON line."""
+    import subprocess
+
+    bench = _load("bench_mod4", REPO / "bench.py")
+    calls = {}
+
+    class FakeProc:
+        returncode = 0
+        stdout = b'# log\n{"metric": "m", "value": 5.0, "unit": "u"}\n'
+
+    def fake_run(cmd, timeout, env, stdout):
+        calls["cfg"] = json.loads(env[bench._CFG_ENV])
+        calls["ladder"] = env[bench._LADDER_ENV]
+        calls["timeout"] = timeout
+        return FakeProc()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._try_ladder_candidate("dnerf")
+    assert out == {"metric": "m", "value": 5.0, "unit": "u"}
+    assert calls["cfg"] == bench._LADDER_CANDIDATE
+    assert calls["ladder"] == "0"
+    assert calls["timeout"] == bench._LADDER_TIMEOUT_S
+
+    def fail_run(cmd, timeout, env, stdout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", fail_run)
+    assert bench._try_ladder_candidate("dnerf") is None
+
+
+def test_parse_bench_log_with_bool_override(picker, tmp_path):
+    """The ladder candidate carries remat_feats=true — the overrides line
+    must round-trip through the picker (bench.py emits json.dumps)."""
+    log = tmp_path / "bench_xla_1m_seg.log"
+    _write_bench_log(log, 4.5e6, {"target_sample_batch_size": 1048576,
+                                  "march_seg": 8, "remat_feats": True})
+    overrides, value = picker.parse_bench_log(log)
+    assert overrides["remat_feats"] is True
+    assert value == 4.5e6

@@ -50,7 +50,7 @@ run budget_big_seg16 python tools/profile_budget.py --iters 8 \
 
 # 4. current-default bench for a baseline r2 number (even if defaults
 #    change later, this anchors the log)
-run bench_default python bench.py
+run bench_default env CEDNERF_BENCH_LADDER=0 python bench.py
 
 # 5. candidate-combo benches (full bench.py protocol, not just step ms) —
 #    these anchor BENCH_r02 default selection without a human in the loop
@@ -60,11 +60,13 @@ run bench_fused_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "target_samp
     python bench.py
 run bench_pallas_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "fused", "interp_impl": "pallas", "compact_impl": "pallas", "target_sample_batch_size": 1048576}' \
     python bench.py
+run bench_xla_1m_seg env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "march_seg": 8, "remat_feats": true}' \
+    python bench.py
 
 # 5b. real-dataset shape: 2^20 budget, host-assembled double-buffered
 #     batches (DyNeRF-like; VERDICT r1 item 4's bench). Distinct metric
 #     name — the picker only reads train_samples_per_sec rows.
-run bench_dynerf_shape python bench.py --shape dynerf
+run bench_dynerf_shape env CEDNERF_BENCH_LADDER=0 python bench.py --shape dynerf
 
 # 6. quality gates at the candidate budget (equal-step PSNR, procedural,
 #    same scene/steps so the two arms are directly comparable)
