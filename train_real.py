@@ -7,6 +7,7 @@ Usage (reference README):
 """
 
 import argparse
+import os
 import pathlib
 import time
 
@@ -91,6 +92,15 @@ def main():
             hash_n_features=args.hash_features or cfg.hash_n_features,
         )
     cfg = apply_perf_overrides(cfg, args)
+    env_cfg = os.environ.get("CEDNERF_CFG")
+    if env_cfg:
+        # arbitrary SceneConfig field overrides for tests/experiments
+        # (tiny-shape end-to-end CLI runs); unknown keys fail fast
+        import dataclasses
+        import json
+
+        cfg = dataclasses.replace(cfg, **json.loads(env_cfg))
+        print(f"cfg overrides from CEDNERF_CFG: {env_cfg}")
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
 
