@@ -89,11 +89,19 @@ def ssim(pred, target, data_range: float = 1.0):
 def ms_ssim(pred, target, data_range: float = 1.0):
     """Multi-scale SSIM of [H, W, C] (or [N, C, H, W]) images in [0, range].
 
-    Requires min(H, W) > 160 for the full 5 scales (same constraint as
-    pytorch_msssim); smaller images should use `ssim`.
+    Uses the full 5 scales when min(H, W) > 160 (pytorch_msssim's validity
+    constraint — it raises below that); smaller images gracefully drop the
+    scales whose pooled size falls under the 11-tap window, renormalizing
+    the remaining weights, instead of producing NaN.
     """
     x, y = _to_nchw(pred), _to_nchw(target)
-    levels = len(MSSSIM_WEIGHTS)
+    # shapes are static under jit: count the scales that keep the pooled
+    # image at least as large as the gaussian window
+    levels = 1
+    h, w = x.shape[2], x.shape[3]
+    while levels < len(MSSSIM_WEIGHTS) and min(h, w) >= 2 * 11:
+        levels += 1
+        h, w = (h + 1) // 2, (w + 1) // 2
     vals = []
     for i in range(levels):
         s, cs = _ssim_and_cs(x, y, data_range)
@@ -101,7 +109,9 @@ def ms_ssim(pred, target, data_range: float = 1.0):
         if i < levels - 1:
             x, y = _avg_pool2(x), _avg_pool2(y)
     vals = jax.nn.relu(jnp.stack(vals))  # relu'd like pytorch_msssim
-    weights = jnp.asarray(MSSSIM_WEIGHTS)
+    weights = jnp.asarray(MSSSIM_WEIGHTS[:levels])
+    if levels < len(MSSSIM_WEIGHTS):  # keep exact pytorch_msssim weights
+        weights = weights / weights.sum()  # at full scale count
     return jnp.prod(vals ** weights)
 
 

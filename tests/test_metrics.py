@@ -78,3 +78,20 @@ def test_depth_to_img():
     # slightly off at the exact endpoints, so probe just inside)
     assert img[0, 1, 2] > img[0, 1, 0]   # x ~= 0.016
     assert img[-1, -1, 0] > img[-1, -1, 2]
+
+
+def test_ms_ssim_small_images_finite():
+    """Images too small for the 5-scale pyramid drop scales instead of
+    returning NaN (pytorch_msssim raises; train_real eval on small frames
+    should still report a number)."""
+    import numpy as np
+
+    from cednerf_tpu.utils.metrics import ms_ssim
+
+    rng = np.random.default_rng(3)
+    a = rng.random((16, 16, 3), dtype=np.float32)
+    v_same = float(ms_ssim(a, a))
+    v_diff = float(ms_ssim(a, 1.0 - a))
+    assert np.isfinite(v_same) and np.isfinite(v_diff)
+    assert v_same > 0.99
+    assert v_diff < v_same
