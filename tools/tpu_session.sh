@@ -22,7 +22,8 @@ runT() {
 
 # 0. tunnel sanity (fast fail if still down)
 run probe python -c "import jax; print(jax.devices()); import jax.numpy as jnp; print(float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))"
-grep -q 2097152 "$OUT/probe.log" || { echo "TUNNEL STILL DOWN" | tee -a "$OUT/queue.log"; exit 3; }
+# ones(256,256) @ ones(256,256) sums to 256^3 = 16777216
+grep -q 16777216 "$OUT/probe.log" || { echo "TUNNEL STILL DOWN" | tee -a "$OUT/queue.log"; exit 3; }
 
 # 1. numerical check of the Pallas kernels on real Mosaic lowering
 run check_pallas python tools/check_pallas_tpu.py
