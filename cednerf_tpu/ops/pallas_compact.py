@@ -57,9 +57,12 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
         kept_ref[...] = (v_ref[...] != 0) & (dest < budget)[None, :]
 
         # one-hot permutation: out_row t gets the t-th valid entry's flat idx
-        out_iota = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+        # (iota in i32 then cast — tpu.iota cannot produce float vectors)
+        out_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 0).astype(jnp.float32)
         onehot = ((out_iota == excl) * v)                     # [T(out), T(in)]
-        idx_col = (jax.lax.broadcasted_iota(jnp.float32, (tile, 1), 0)
+        idx_col = (jax.lax.broadcasted_iota(
+            jnp.int32, (tile, 1), 0).astype(jnp.float32)
                    + jnp.float32(i * tile))                   # [T, 1]
         comp = jax.lax.dot_general(
             onehot, idx_col, (((1,), (0,)), ((), ())),

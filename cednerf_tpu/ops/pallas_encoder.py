@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cednerf_tpu.ops.pallas_scatter import accum_rows_aligned
+
 BRICK_CELLS = 3
 BRICK_CORNERS = 4
 CORNERS_PER_BRICK = 64
@@ -312,12 +314,14 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
     adt = jnp.dtype(accum_dtype_name)
 
     def kernel(rows_ref, x_ref, g_ref, feat_ref, out_ref, dx_ref,
-               acc_ref, upd_ref):
+               upd_ref):
+        # out_ref doubles as the VMEM-resident accumulator (constant index
+        # map); a separate scratch would OOM the 16 MB VMEM budget
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
 
         lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
         ws, dws, oks = _lane_weights(x_ref[...], scale, nb, lane_idx,
@@ -340,21 +344,9 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
                      axis=-1, keepdims=True) * oks[:, 2:3] * sc
         dx_ref[...] = jnp.concatenate([d0, d1, d2], axis=1)
 
-        def body(j, _):
-            # strided unroll: consecutive rows are ray-coherent (often the
-            # same brick); strided ones rarely collide, giving Mosaic
-            # independent RMW chains to overlap
-            for u in range(unroll):
-                r = rows_ref[j + u * (tile // unroll)]
-                acc_ref[pl.ds(r, 1), :] += upd_ref[
-                    pl.ds(j + u * (tile // unroll), 1), :]
-            return 0
-
-        jax.lax.fori_loop(0, tile // unroll, body, 0)
-
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _():
-            out_ref[:] = acc_ref[:]
+        # aligned-window accumulate (arbitrary dynamic row offsets do not
+        # lower on Mosaic — see pallas_scatter.ALIGN)
+        accum_rows_aligned(out_ref, rows_ref, upd_ref, tile)
 
     grid = (n // tile,)
 
@@ -363,7 +355,10 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile,), lambda i: (i,),
+                # group-major 2-D rows: a (tile,) 1-D block below XLA's
+                # 1024-element layout granule fails Mosaic operand-layout
+                # verification (see pallas_scatter.accum_rows_aligned)
+                pl.BlockSpec((tile // 8, 8), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile, 3), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -383,11 +378,10 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_rows, W), adt),
                 pltpu.VMEM((tile, W), adt),
             ],
             interpret=interpret,
-        )(rows.astype(jnp.int32), x, g, feats)
+        )(rows.astype(jnp.int32).reshape(n // 8, 8), x, g, feats)
 
     return run
 
@@ -395,7 +389,10 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
 def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
                      n_rows: int, n_feat: int,
                      compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32,
-                     tile: int = 1024, unroll: int = 8, interpret=None):
+                     tile: int = 512, unroll: int = 8, interpret=None):
+    # tile=512: at tile=1024 the [tile, W] lane-weight intermediates put the
+    # kernel's Mosaic stack at ~19.7 MB > the 16 MB VMEM budget (with the
+    # 8 MB 16384-row accumulator block resident)
     """Single-level fused encoder backward.
 
     x: [N,3] unit-cube positions; g: [N,F] cotangent; feats: [N,64F]
@@ -405,6 +402,7 @@ def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
     """
     n = x.shape[0]
     assert n % tile == 0, (n, tile)
+    assert n_rows % 8 == 0, n_rows
     run = _build_bwd_fused(float(scale), int(nb), int(n_rows), n_feat, n,
                            tile, unroll, jnp.dtype(compute_dtype).name,
                            jnp.dtype(accum_dtype).name,

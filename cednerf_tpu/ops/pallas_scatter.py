@@ -31,6 +31,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic cannot lower a VMEM vector load/store at an arbitrary dynamic row
+# offset ("cannot statically prove that index in dimension 0 is a multiple
+# of 8", v5e 2026-08): dynamic sublane offsets must be provably aligned.
+# All dynamic row access below therefore moves ALIGN-row windows at
+# provably-aligned bases with a one-hot row select inside the window.
+ALIGN = 8
+
+
+def accum_rows_aligned(acc_ref, rows_ref, upd_ref, tile: int,
+                       cast_dtype=None):
+    """In-kernel `acc_ref[rows[i]] += upd[i]` for i in [0, tile), Mosaic-safe.
+
+    acc_ref: [n_rows, W] VMEM accumulator (n_rows % ALIGN == 0);
+    rows_ref: [tile] SMEM int32; upd_ref: [tile, W] VMEM.
+    Sample order (and thus float addition order) matches a sequential
+    per-row loop: each i applies exactly one masked add.
+    """
+    w = upd_ref.shape[-1]
+    adt = acc_ref.dtype if cast_dtype is None else cast_dtype
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ALIGN, w), 0)
+    # rows may arrive as [tile] or group-major [tile//ALIGN, ALIGN] (2-D when
+    # the tile is below XLA's 1024-element 1-D layout granule, whose block
+    # shape Mosaic's (8, 128)-divisibility check rejects)
+    read_row = (lambda j, u: rows_ref[j, u]) if rows_ref.ndim == 2 \
+        else (lambda j, u: rows_ref[j * ALIGN + u])
+
+    def body(j, _):
+        g = pl.multiple_of(j * ALIGN, ALIGN)
+        upd_w = upd_ref[pl.ds(g, ALIGN), :].astype(adt)
+        for u in range(ALIGN):
+            r = read_row(j, u)
+            rb = pl.multiple_of((r // ALIGN) * ALIGN, ALIGN)
+            sel = (row_iota == (r - rb)).astype(adt)
+            acc_ref[pl.ds(rb, ALIGN), :] += sel * upd_w[u:u + 1, :]
+        return 0
+
+    jax.lax.fori_loop(0, tile // ALIGN, body, 0)
+
 
 @functools.partial(
     jax.jit,
@@ -50,34 +88,21 @@ def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    del unroll  # superseded by the aligned-window accumulate
     n, w = upd.shape
     assert n % tile == 0, (n, tile)
+    assert n_rows % ALIGN == 0, n_rows
     adt = jnp.dtype(accum_dtype)
 
-    def kernel(rows_ref, upd_ref, out_ref, acc_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
+    def kernel(rows_ref, upd_ref, out_ref):
+        # accumulate directly in the VMEM-resident output block (constant
+        # index map) — a separate scratch accumulator doubles the table's
+        # VMEM footprint and OOMs the 16 MB budget at 16384x256 rows
+        @pl.when(pl.program_id(0) == 0)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        def body(j, _):
-            # unrolled strided sub-loop: gives Mosaic independent RMW chains
-            # to overlap (consecutive rows often collide on ray-coherent
-            # indices; strided ones rarely do)
-            for u in range(unroll):
-                r = rows_ref[j + u * (tile // unroll)]
-                acc_ref[pl.ds(r, 1), :] += (
-                    upd_ref[pl.ds(j + u * (tile // unroll), 1), :]
-                    .astype(acc_ref.dtype)
-                )
-            return 0
-
-        jax.lax.fori_loop(0, tile // unroll, body, 0)
-
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _():
-            out_ref[:] = acc_ref[:]
+        accum_rows_aligned(out_ref, rows_ref, upd_ref, tile)
 
     return pl.pallas_call(
         kernel,
@@ -90,7 +115,6 @@ def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
         out_specs=pl.BlockSpec((n_rows, w), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, w), adt),
-        scratch_shapes=[pltpu.VMEM((n_rows, w), adt)],
         interpret=interpret,
     )(rows.astype(jnp.int32), upd)
 

@@ -10,10 +10,13 @@ rows), plus the MXU one-hot matmul for tiny dense tables.
 Run on the tunneled chip: python tools/profile_pallas_scatter.py
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, ".")
 
 from cednerf_tpu.ops.pallas_scatter import scatter_add_onehot, scatter_add_rows
 from cednerf_tpu.utils import enable_compile_cache
