@@ -46,9 +46,12 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
 
         v = v_ref[...].astype(jnp.float32)                    # [1, T]
         # inclusive ranks via lower-tri ones matmul: r[j] = sum_{k<=j} v[k]
+        # HIGHEST: the MXU's default f32 precision is bf16-grade, which
+        # rounds integer ranks > 256 — these counts must be exact
         incl = jax.lax.dot_general(
             v, tri_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [1, T]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # [1, T]
         excl = incl - v                                       # [1, T]
         cnt = incl[0, tile - 1].astype(jnp.int32)
 
@@ -56,19 +59,22 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
         dest = base + excl[0, :].astype(jnp.int32)            # [T]
         kept_ref[...] = (v_ref[...] != 0) & (dest < budget)[None, :]
 
-        # one-hot permutation: out_row t gets the t-th valid entry's flat idx
-        # (iota in i32 then cast — tpu.iota cannot produce float vectors)
+        # one-hot permutation: out_row t gets the t-th valid entry's LOCAL
+        # index (iota in i32 then cast — tpu.iota cannot produce float
+        # vectors; local 0..tile-1 stays f32-exact at any lattice size,
+        # the i*tile flat offset is added back in int32)
         out_iota = jax.lax.broadcasted_iota(
             jnp.int32, (tile, tile), 0).astype(jnp.float32)
         onehot = ((out_iota == excl) * v)                     # [T(out), T(in)]
-        idx_col = (jax.lax.broadcasted_iota(
-            jnp.int32, (tile, 1), 0).astype(jnp.float32)
-                   + jnp.float32(i * tile))                   # [T, 1]
+        idx_col = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, 1), 0).astype(jnp.float32)      # [T, 1]
         comp = jax.lax.dot_general(
             onehot, idx_col, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [T, 1]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # [T, 1]
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-        comp_i = jnp.where(row < cnt, comp.astype(jnp.int32),
+        comp_i = jnp.where(row < cnt,
+                           comp.astype(jnp.int32) + jnp.int32(i) * tile,
                            jnp.int32(n))                      # [T, 1]
         start = jnp.minimum(base, budget)
         sel_ref[pl.ds(start, tile), :] = comp_i
