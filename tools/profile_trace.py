@@ -90,6 +90,9 @@ def main():
                     help="chunks (32 steps each) before tracing")
     ap.add_argument("--trace-chunks", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--cfg", default=None,
+                    help="JSON dict of SceneConfig field overrides (e.g. "
+                         "'{\"target_sample_batch_size\": 1048576}')")
     ap.add_argument("--parse-only", action="store_true",
                     help="just parse an existing trace dir")
     args = ap.parse_args()
@@ -113,6 +116,9 @@ def main():
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
     )
     cfg = dnerf_config(max_steps=100000)
+    if args.cfg:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **json.loads(args.cfg))
     field = build_field(cfg, flags)
     scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
     trainer = Trainer(field, cfg, flags, scene, seed=0,
