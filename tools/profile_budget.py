@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="-1 sweeps {0, 8}; otherwise fixes the segment "
                          "length (0 = dense lattice)")
+    ap.add_argument("--overcommit", type=float, default=None,
+                    help="seg_overcommit override (seg arms dropped ~50%% "
+                         "of valid samples at the 1.5 default: segments "
+                         "average ~half-full, so the segment buffer "
+                         "truncates while demand is under budget)")
     args = ap.parse_args()
 
     from synthetic_scene import BallCloudScene
@@ -83,11 +88,14 @@ def main():
         segs = (0, 8) if args.march_seg < 0 else (args.march_seg,)
         for impl in args.impls.split(","):
             for seg in segs:
+                over = {} if args.overcommit is None else {
+                    "seg_overcommit": args.overcommit}
                 cfg_i = dataclasses.replace(cfg_b, scatter_impl=impl,
                                             interp_impl=args.interp,
                                             compact_impl=args.compact,
                                             march_seg=seg,
-                                            remat_feats=args.remat_feats)
+                                            remat_feats=args.remat_feats,
+                                            **over)
                 field_i = build_field(cfg_i, flags)
                 step_fn = make_train_step(field_i, cfg_i, flags,
                                           use_seg=seg > 0)
