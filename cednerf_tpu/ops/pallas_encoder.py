@@ -312,6 +312,9 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
     W = CORNERS_PER_BRICK * F
     cdtype = jnp.dtype(dtype_name)
     adt = jnp.dtype(accum_dtype_name)
+    # pad the accumulator to the aligned-window granule (dense levels have
+    # e.g. 17^3 = 4913 rows); padding rows are never indexed, sliced away
+    n_rows_pad = -(-n_rows // 8) * 8
 
     def kernel(rows_ref, x_ref, g_ref, feat_ref, out_ref, dx_ref,
                upd_ref):
@@ -368,13 +371,13 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((n_rows, W), lambda i: (0, 0),
+                pl.BlockSpec((n_rows_pad, W), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, 3), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_rows, W), adt),
+                jax.ShapeDtypeStruct((n_rows_pad, W), adt),
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
             ),
             scratch_shapes=[
@@ -383,7 +386,11 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
             interpret=interpret,
         )(rows.astype(jnp.int32).reshape(n // 8, 8), x, g, feats)
 
-    return run
+    def run_sliced(rows, x, g, feats):
+        d_table, d_x = run(rows, x, g, feats)
+        return d_table[:n_rows], d_x
+
+    return run_sliced
 
 
 def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
@@ -402,7 +409,6 @@ def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
     """
     n = x.shape[0]
     assert n % tile == 0, (n, tile)
-    assert n_rows % 8 == 0, n_rows
     run = _build_bwd_fused(float(scale), int(nb), int(n_rows), n_feat, n,
                            tile, unroll, jnp.dtype(compute_dtype).name,
                            jnp.dtype(accum_dtype).name,

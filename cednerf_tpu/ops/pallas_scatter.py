@@ -91,7 +91,9 @@ def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
     del unroll  # superseded by the aligned-window accumulate
     n, w = upd.shape
     assert n % tile == 0, (n, tile)
-    assert n_rows % ALIGN == 0, n_rows
+    # pad the accumulator to the window granule (dense levels have e.g.
+    # 17^3 = 4913 rows); padding rows are never indexed and sliced away
+    n_rows_pad = -(-n_rows // ALIGN) * ALIGN
     adt = jnp.dtype(accum_dtype)
 
     def kernel(rows_ref, upd_ref, out_ref):
@@ -112,11 +114,11 @@ def scatter_add_rows(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,
             pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_rows, w), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((n_rows_pad, w), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rows, w), adt),
+        out_shape=jax.ShapeDtypeStruct((n_rows_pad, w), adt),
         interpret=interpret,
-    )(rows.astype(jnp.int32), upd)
+    )(rows.astype(jnp.int32), upd)[:n_rows]
 
 
 def scatter_add_onehot(rows, upd, *, n_rows: int, accum_dtype=jnp.float32,

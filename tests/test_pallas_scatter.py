@@ -48,3 +48,24 @@ def test_scatter_add_onehot_matches_xla():
     # the bf16 inputs themselves are exact here (upd already bf16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-4)
+
+
+def test_scatter_add_rows_unaligned_table():
+    # dense levels have non-multiple-of-8 row counts (e.g. 17^3 = 4913);
+    # the kernel pads the accumulator to the aligned-window granule and
+    # slices it back — incl. rows in the final partial window
+    n, w, n_rows = 2048, 128, 339
+    key = jax.random.PRNGKey(3)
+    kr, ku = jax.random.split(key)
+    rows = jnp.concatenate([
+        jax.random.randint(kr, (n - 4,), 0, n_rows),
+        jnp.full((4,), n_rows - 1, jnp.int32),  # hit the last row
+    ])
+    upd = jax.random.normal(ku, (n, w), jnp.float32)
+    ref = jnp.zeros((n_rows, w), jnp.float32).at[rows].add(upd)
+    out = scatter_add_rows(rows, upd, n_rows=n_rows,
+                           accum_dtype=jnp.float32, tile=512,
+                           interpret=True)
+    assert out.shape == (n_rows, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
