@@ -5,22 +5,31 @@ full-lattice cumsum + a scatter of unique indices — ~10 ms of the 94 ms
 step at the 262k budget (ROADMAP r2 trace: "sel build"), all of it
 lattice-proportional 1-D XLA ops with ~3.2 ms fixed floors.
 
-This kernel does the same select in ONE sequential pass over sample tiles
-with no per-element stores:
+This kernel does the same select in ONE sequential pass over sample tiles:
 
   * the tile's exclusive prefix ranks come from one [1,T] x [T,T]
     lower-triangular ones matmul (MXU; the triangle is a constant input
     block, fetched into VMEM once);
-  * the compacted tile is built by a data-dependent one-hot permutation
-    matmul (onehot[out, in] = (rank[in] == out & valid[in]), compare-built
-    from a 2-D iota against the [1,T] rank row — no transposes);
-  * the tile is written to the output at the running base offset with a
-    single dynamic-slice store; the running base lives in SMEM scratch
-    across the sequential grid.
+  * the compacted tile is built lane-major by a data-dependent one-hot
+    permutation matmul (onehotT[in, out] = (rank[in] == out & valid[in]));
+    the [1,T] -> [T,1] relayouts ride the MXU as identity matmuls;
+  * the tile is placed at the running base offset into a lane-major
+    [rows, T] output grid: an MXU shift matmul rotates the row by
+    (start % T) and two aligned-8-row masked merges write the (at most
+    two) destination rows. The running base lives in SMEM scratch.
+
+The output grid is [budget/T + 2, T] int32 — ~1 MB per 262k budget slots —
+instead of a flat [budget, 1] block, whose 128x lane padding exceeds the
+128 MiB VMEM at budgets >= 262k (the r1 kernel only ever compiled at the
+65k eval budget).
+
+Mosaic constraints honored (all silicon-verified in this file's siblings):
+integer-exact MXU via Precision.HIGHEST, int iota + cast, aligned-window
+dynamic row access only.
 
 Bit-compatible with compact_select's (sel, kept) for n_blocks == 1
-(gated by tests/test_pallas_compact.py). Flat indices ride through the
-MXU as f32 — exact for lattices < 2^24 entries (asserted).
+(gated by tests/test_pallas_compact.py). Local indices ride the MXU as
+f32 — exact (< T); the i*T flat offset is added back in int32.
 """
 
 import functools
@@ -31,12 +40,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, budget: int, tile: int, interpret: bool):
     nt = n // tile
+    out_rows = -(-budget // tile) + 2
+    out_rows_pad = -(-out_rows // 8) * 8
 
-    def kernel(v_ref, tri_ref, sel_ref, kept_ref, base_ref):
+    def kernel(v_ref, tri_ref, eye_ref, sel_ref, kept_ref, base_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -45,13 +58,13 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
             sel_ref[:] = jnp.full_like(sel_ref, n)
 
         v = v_ref[...].astype(jnp.float32)                    # [1, T]
+        eye = eye_ref[...]
         # inclusive ranks via lower-tri ones matmul: r[j] = sum_{k<=j} v[k]
         # HIGHEST: the MXU's default f32 precision is bf16-grade, which
         # rounds integer ranks > 256 — these counts must be exact
         incl = jax.lax.dot_general(
             v, tri_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # [1, T]
+            preferred_element_type=jnp.float32, precision=_HI)  # [1, T]
         excl = incl - v                                       # [1, T]
         cnt = incl[0, tile - 1].astype(jnp.int32)
 
@@ -59,31 +72,65 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
         dest = base + excl[0, :].astype(jnp.int32)            # [T]
         kept_ref[...] = (v_ref[...] != 0) & (dest < budget)[None, :]
 
-        # one-hot permutation: out_row t gets the t-th valid entry's LOCAL
-        # index (iota in i32 then cast — tpu.iota cannot produce float
-        # vectors; local 0..tile-1 stays f32-exact at any lattice size,
-        # the i*tile flat offset is added back in int32)
-        out_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (tile, tile), 0).astype(jnp.float32)
-        onehot = ((out_iota == excl) * v)                     # [T(out), T(in)]
-        idx_col = jax.lax.broadcasted_iota(
-            jnp.int32, (tile, 1), 0).astype(jnp.float32)      # [T, 1]
+        # lane-major permutation: comp_row[0, out] = local idx of the valid
+        # entry with rank `out`. The [1,T] -> [T,1] relayouts are identity
+        # matmuls (dot contracting both lane dims) — no tpu transposes.
+        excl_col = jax.lax.dot_general(
+            eye, excl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)  # [T, 1]
+        v_col = jax.lax.dot_general(
+            eye, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)  # [T, 1]
+        lane_f = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 1).astype(jnp.float32)
+        onehot_t = (excl_col == lane_f).astype(jnp.float32) * v_col
+        idx_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1).astype(jnp.float32)      # [1, T]
         comp = jax.lax.dot_general(
-            onehot, idx_col, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # [T, 1]
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-        comp_i = jnp.where(row < cnt,
+            idx_row, onehot_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)  # [1, T]
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        comp_i = jnp.where(lane_i < cnt,
                            comp.astype(jnp.int32) + jnp.int32(i) * tile,
-                           jnp.int32(n))                      # [T, 1]
+                           jnp.int32(n))                      # [1, T]
+
+        # place entries at flat [start, start+cnt): rotate the row by
+        # off = start % T via an MXU shift matmul (shift[in, out] =
+        # (out == (in + off) mod T)), then masked-merge into the (at most
+        # two) destination rows of the lane-major output grid
         start = jnp.minimum(base, budget)
-        sel_ref[pl.ds(start, tile), :] = comp_i
+        r0 = start // tile
+        off = start - r0 * tile
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        lane_ii = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        shift = (((lane_ii - sub_i - off) % tile) == 0
+                 ).astype(jnp.float32)                        # [in, out]
+        rolled = jax.lax.dot_general(
+            comp_i.astype(jnp.float32), shift, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+        # sentinel lanes (rank >= cnt) map to n > 2^? — n < 2^24 asserted,
+        # f32-exact through the matmul
+        rolled_i = rolled.astype(jnp.int32)                   # [1, T]
+        win_iota = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+        valid_lane = rolled_i != jnp.int32(n)                 # [1, T]
+        rolled_b = jnp.broadcast_to(rolled_i, (8, tile))
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 1)
+        for which in (0, 1):
+            r = r0 + which
+            wb = pl.multiple_of((r // 8) * 8, 8)
+            seg_mask = (lane8 >= off) if which == 0 else (lane8 < off)
+            m = ((win_iota == (r - wb)) & seg_mask
+                 & jnp.broadcast_to(valid_lane, (8, tile)))
+            win = sel_ref[pl.ds(wb, 8), :]
+            sel_ref[pl.ds(wb, 8), :] = jnp.where(m, rolled_b, win)
+
         base_ref[0] = base + cnt
 
     def run(valid_flat):
         tri = jnp.asarray(
             np.tril(np.ones((tile, tile), np.float32)).T)     # [k, j] k<=j
-        sel_pad, kept2d = pl.pallas_call(
+        eye = jnp.asarray(np.eye(tile, dtype=np.float32))
+        sel2d, kept2d = pl.pallas_call(
             kernel,
             grid=(nt,),
             in_specs=[
@@ -91,21 +138,23 @@ def _build(n: int, budget: int, tile: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, tile), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((budget + tile, 1), lambda i: (0, 0),
+                pl.BlockSpec((out_rows_pad, tile), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((budget + tile, 1), jnp.int32),
+                jax.ShapeDtypeStruct((out_rows_pad, tile), jnp.int32),
                 jax.ShapeDtypeStruct((1, n), bool),
             ),
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             interpret=interpret,
-        )(valid_flat.reshape(1, n), tri)
-        return sel_pad[:budget, 0], kept2d.reshape(n)
+        )(valid_flat.reshape(1, n), tri, eye)
+        return sel2d.reshape(-1)[:budget], kept2d.reshape(n)
 
     return run
 
