@@ -396,10 +396,10 @@ def _build_bwd_fused(scale: float, nb: int, n_rows: int, n_feat: int,
 def interp_bwd_fused(x, g, feats, rows, *, scale: float, nb: int,
                      n_rows: int, n_feat: int,
                      compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32,
-                     tile: int = 512, unroll: int = 8, interpret=None):
-    # tile=512: at tile=1024 the [tile, W] lane-weight intermediates put the
-    # kernel's Mosaic stack at ~19.7 MB > the 16 MB VMEM budget (with the
-    # 8 MB 16384-row accumulator block resident)
+                     tile: int = 256, unroll: int = 8, interpret=None):
+    # tile=256: the [tile, W] lane-weight intermediates + the 8 MB
+    # 16384-row accumulator block must fit the 16 MB scoped-VMEM budget;
+    # tile=1024 measured 19.7 MB, tile=512 still 16.48 MB in-program
     """Single-level fused encoder backward.
 
     x: [N,3] unit-cube positions; g: [N,F] cotangent; feats: [N,64F]
