@@ -22,6 +22,16 @@ the per-row scatter overhead only when n_rows is tiny.
 
 Both are bit-compatible with `jnp.zeros(...).at[rows].add(upd)` (gated by
 tests/test_pallas_scatter.py, interpret mode on CPU).
+
+SILICON VERDICT (v5e, 2026-08-19, tools/profile_pallas_scatter.py +
+profile_budget.py): standalone the VMEM accumulator wins (2.33-2.42 ms
+per 262k x 256-lane rows at any table size vs XLA .at[].add 2.5-4.0 ms
+— per-row cost is a ~9 ns wall for every impl). IN-PROGRAM it loses
+(105.6 vs 94.3 ms step at the 262k budget): XLA fuses the update-row
+lane math into its scatter, while a pallas_call boundary forces the
+[N, 256] rows through HBM. Kept as an option + the building block for
+fused backward kernels (which avoid the boundary by also owning the
+lane math); scatter_impl default stays "xla".
 """
 
 import functools
