@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--n_rays", type=int, default=2112)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--out", default="/tmp/hlo_dump")
+    ap.add_argument("--cfg", default=None,
+                    help="JSON dict of SceneConfig field overrides (match "
+                         "the traced config, e.g. the 1M budget)")
     args = ap.parse_args()
 
     import jax
@@ -33,6 +36,10 @@ def main():
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
     )
     cfg = dnerf_config(max_steps=100000)
+    if args.cfg:
+        import dataclasses
+        import json
+        cfg = dataclasses.replace(cfg, **json.loads(args.cfg))
     field = build_field(cfg, flags)
     scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
     trainer = Trainer(field, cfg, flags, scene, seed=0,
