@@ -169,11 +169,14 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 out = render_packed(
                     field, params, ps, batch["color_bkgd"], occ_mean,
                     budget=budget, alpha_thre=cfg.alpha_thre, train=True,
+                    n_blocks=cfg.compact_blocks,
+                    assembly_impl=cfg.assembly_impl,
                 )
             else:
                 render = (render_rays_budget_packed if cfg.packed_render
                           else render_rays_budget)
-                kw = ({"compact_impl": cfg.compact_impl}
+                kw = ({"compact_impl": cfg.compact_impl,
+                       "assembly_impl": cfg.assembly_impl}
                       if cfg.packed_render else {})
                 out = render(
                     field, params,
@@ -196,26 +199,26 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             if flags.acc_entropy_loss:
                 loss += L.acc_entropy_loss(out.opacity, ray_weights=complete) * 1e-3
             if extras.get("packed"):
-                ray, starts = extras["ray"], extras["starts"]
+                starts, counts = extras["starts"], extras["counts"]
                 if flags.distortion_loss:
                     loss += L.packed_distortion_loss(
                         extras["weights_p"], extras["t_starts_p"],
-                        extras["dts_p"], ray, starts, complete) * 1e-3
+                        extras["dts_p"], starts, counts, budget,
+                        complete) * 1e-3
                 if flags.weight_rgbper:
                     loss += L.packed_rgbper_loss(
                         extras["rgbs_p"], batch["pixels"],
                         jax.lax.stop_gradient(extras["weights_p"]),
-                        ray, complete) * 1e-3
+                        starts, counts, budget, complete) * 1e-3
                 if flags.use_feat_predict:
                     loss += L.packed_ray_sum_mean(
                         extras["latent_p"]
                         * jax.lax.stop_gradient(extras["weights_p"]),
-                        ray, complete)
+                        starts, counts, budget, complete)
                 if flags.use_weight_predict:
                     loss += L.packed_per_ray_mean(
                         extras["weight_loss_p"] * extras["weights_p"],
-                        extras["valid_p"], ray, starts, extras["counts"],
-                        budget, complete)
+                        extras["valid_p"], starts, counts, budget, complete)
             else:
                 if flags.distortion_loss:
                     loss += L.distortion_loss(

@@ -71,10 +71,11 @@ def rgbper_loss(rgbs, pixels, weights, mask, ray_weights=None):
 
 # ------------------------------------------------------------------- #
 # Packed (compacted-buffer) loss forms for engine/renderer.py
-# render_rays_budget_packed: per-slot arrays [B] with ray ids + segment
-# starts/counts. Per-ray exclusive prefixes = global exclusive cumsum
-# minus the ray-base prefix; ray_mean of per-ray sums needs no
-# segmentation at all (it is one complete-masked global sum).
+# render_rays_budget_packed: per-slot arrays [B] with per-ray segment
+# starts/counts. All per-ray plumbing runs through ops/segments.py
+# segment sums (cumsum + [R]-sized boundary gathers): no [B]-sized
+# take-by-ray or scatter-by-ray anywhere — those pay the v5e ~9 ns/row
+# gather/scatter wall (tools/profile_layouts.py, docs/PERF_PLAN.md).
 # ------------------------------------------------------------------- #
 
 
@@ -84,42 +85,85 @@ def _ray_base(prefix, starts, total):
     return jnp.take(jnp.concatenate([prefix, total[None]]), starts)
 
 
-def packed_ray_sum_mean(per_slot, ray, ray_weights):
-    """ray_mean of per-ray sums of `per_slot` — as one masked global sum.
+def packed_ray_sum_mean(per_slot, starts, counts, budget, ray_weights):
+    """ray_mean of per-ray sums of `per_slot` over packed segments.
 
     per_slot [B] must already be zero at invalid slots. ray_weights [R]
     (0/1 complete mask) or None (every ray counts)."""
-    rmask = jnp.take(ray_weights.reshape(-1), ray)
-    return jnp.sum(per_slot * rmask) / jnp.maximum(
-        jnp.sum(ray_weights), 1.0)
+    from .segments import segment_sum
+
+    sums = segment_sum(per_slot, starts, counts, budget)     # [R]
+    if ray_weights is None:
+        return jnp.sum(sums) / sums.shape[0]
+    rw = ray_weights.reshape(-1)
+    return jnp.sum(sums * rw) / jnp.maximum(jnp.sum(rw), 1.0)
 
 
-def packed_distortion_loss(weights_p, t_starts_p, dts_p, ray, starts,
-                           ray_weights):
-    """distortion_loss on the packed buffer (same math, segment prefixes)."""
+def packed_distortion_loss(weights_p, t_starts_p, dts_p, starts, counts,
+                           budget, ray_weights):
+    """distortion_loss on the packed buffer (same math, segment prefixes).
+
+    The per-slot form expands to per-ray segment sums:
+      L(ray) = S[2w(mid*cw - cwm) + w^2 dt/3] - 2 bw S[w*mid] + 2 bwm S[w]
+    with cw/cwm the GLOBAL exclusive prefixes of w / w*mid, bw/bwm their
+    values at the ray's segment start, and S[.] per-segment sums — so the
+    whole loss is one [B,3]-channel segment_sum plus [R]-sized math, with
+    no [B]-sized broadcast of the ray bases.
+    """
+    from .segments import segment_sum
+
     mid = t_starts_p + 0.5 * dts_p
     w = weights_p
     wm = w * mid
     cw = exclusive_cumsum(w, axis=0)
     cwm = exclusive_cumsum(wm, axis=0)
-    pref_w = cw - jnp.take(_ray_base(cw, starts, jnp.sum(w)), ray)
-    pref_wm = cwm - jnp.take(_ray_base(cwm, starts, jnp.sum(wm)), ray)
-    per_slot = 2.0 * w * (mid * pref_w - pref_wm) + w ** 2 * dts_p / 3.0
-    return packed_ray_sum_mean(per_slot, ray, ray_weights)
+    bw = _ray_base(cw, starts, jnp.sum(w))                   # [R]
+    bwm = _ray_base(cwm, starts, jnp.sum(wm))                # [R]
+    chans = jnp.stack(
+        [2.0 * w * (mid * cw - cwm) + w ** 2 * dts_p / 3.0,
+         w * mid,
+         w], axis=-1)                                        # [B, 3]
+    s = segment_sum(chans, starts, counts, budget)           # [R, 3]
+    per_ray = s[:, 0] - 2.0 * bw * s[:, 1] + 2.0 * bwm * s[:, 2]
+    if ray_weights is None:
+        return jnp.sum(per_ray) / per_ray.shape[0]
+    rw = ray_weights.reshape(-1)
+    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)
 
 
-def packed_rgbper_loss(rgbs_p, pixels, weights_p, ray, ray_weights):
-    """rgbper_loss on the packed buffer (weights detached by the caller)."""
-    per = jnp.sum((rgbs_p - jnp.take(pixels, ray, axis=0)) ** 2, axis=-1)
-    return packed_ray_sum_mean(per * weights_p, ray, ray_weights)
+def packed_rgbper_loss(rgbs_p, pixels, weights_p, starts, counts, budget,
+                       ray_weights):
+    """rgbper_loss on the packed buffer (weights detached by the caller).
+
+    ||rgb - pix||^2 * w expands to S[w*||rgb||^2] - 2 pix . S[w*rgb]
+    + ||pix||^2 S[w] per ray — one [B,5] segment_sum instead of a [B,3]
+    pixel broadcast by ray id.
+    """
+    from .segments import segment_sum
+
+    w = weights_p[:, None]
+    chans = jnp.concatenate(
+        [jnp.sum(rgbs_p ** 2, axis=-1, keepdims=True) * w,
+         rgbs_p * w,
+         w], axis=-1)                                        # [B, 5]
+    s = segment_sum(chans, starts, counts, budget)           # [R, 5]
+    per_ray = (s[:, 0] - 2.0 * jnp.sum(pixels * s[:, 1:4], axis=-1)
+               + jnp.sum(pixels ** 2, axis=-1) * s[:, 4])
+    if ray_weights is None:
+        return jnp.sum(per_ray) / per_ray.shape[0]
+    rw = ray_weights.reshape(-1)
+    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)
 
 
-def packed_per_ray_mean(per_slot, valid_p, ray, starts, counts, budget,
+def packed_per_ray_mean(per_slot, valid_p, starts, counts, budget,
                         ray_weights):
     """ray_mean of per-ray MEANS over valid slots (reduce='mean' parity)."""
-    cv = jnp.concatenate([jnp.zeros(1, jnp.float32),
-                          jnp.cumsum(valid_p)])
-    n_valid = (jnp.take(cv, jnp.minimum(starts + counts, budget))
-               - jnp.take(cv, starts))                      # [R]
-    scale = 1.0 / jnp.maximum(jnp.take(n_valid, ray), 1.0)
-    return packed_ray_sum_mean(per_slot * scale, ray, ray_weights)
+    from .segments import segment_sum
+
+    s = segment_sum(jnp.stack([per_slot, valid_p], axis=-1),
+                    starts, counts, budget)                  # [R, 2]
+    per_ray = s[:, 0] / jnp.maximum(s[:, 1], 1.0)
+    if ray_weights is None:
+        return jnp.sum(per_ray) / per_ray.shape[0]
+    rw = ray_weights.reshape(-1)
+    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)

@@ -201,28 +201,29 @@ def test_packed_matches_dense_outputs_and_grads():
     budget = 96
     pixels = jnp.asarray(np.random.default_rng(7).random((8, 3)), jnp.float32)
 
-    def total_loss(p, packed, n_blocks=1):
+    def total_loss(p, packed, n_blocks=1, assembly_impl="gather"):
         render = render_rays_budget_packed if packed else render_rays_budget
+        kw = {"assembly_impl": assembly_impl} if packed else {}
         out = render(field, p, o, d, cand, ts, bkgd, jnp.float32(0.5),
                      budget=budget, alpha_thre=1e-3, train=True,
-                     n_blocks=n_blocks)
+                     n_blocks=n_blocks, **kw)
         e = out.extras
         complete = e["complete"]
         loss = jnp.sum((out.rgb - pixels) ** 2)
         if packed:
-            ray, starts = e["ray"], e["starts"]
+            starts, counts = e["starts"], e["counts"]
             loss += L.packed_distortion_loss(
-                e["weights_p"], e["t_starts_p"], e["dts_p"], ray, starts,
-                complete)
+                e["weights_p"], e["t_starts_p"], e["dts_p"], starts, counts,
+                budget, complete)
             loss += L.packed_rgbper_loss(
                 e["rgbs_p"], pixels, jax.lax.stop_gradient(e["weights_p"]),
-                ray, complete)
+                starts, counts, budget, complete)
             loss += L.packed_ray_sum_mean(
                 e["latent_p"] * jax.lax.stop_gradient(e["weights_p"]),
-                ray, complete)
+                starts, counts, budget, complete)
             loss += L.packed_per_ray_mean(
-                e["weight_loss_p"] * e["weights_p"], e["valid_p"], ray,
-                starts, e["counts"], budget, complete)
+                e["weight_loss_p"] * e["weights_p"], e["valid_p"],
+                starts, counts, budget, complete)
         else:
             loss += L.distortion_loss(e["weights"], e["t_starts"],
                                       e["t_ends"], e["mask"],
@@ -263,3 +264,28 @@ def test_packed_matches_dense_outputs_and_grads():
         lambda p: total_loss(p, True, n_blocks=2), has_aux=True)(params)
     np.testing.assert_allclose(np.asarray(outb.rgb), np.asarray(outd.rgb),
                                rtol=2e-4, atol=2e-4)
+
+    # cumsum assembly (segment-broadcast ri/base) matches the gather
+    # assembly's outputs and gradients at the same block layout (a multi-
+    # block layout can drop different rays than the single-block dense
+    # reference, so gather-vs-cumsum at equal nb is the valid comparison)
+    for nb in (1, 2):
+        (lg, outg), gg = jax.value_and_grad(
+            lambda p: total_loss(p, True, n_blocks=nb), has_aux=True)(params)
+        (lc, outc), gc = jax.value_and_grad(
+            lambda p: total_loss(p, True, n_blocks=nb,
+                                 assembly_impl="cumsum"),
+            has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(outc.rgb),
+                                   np.asarray(outg.rgb),
+                                   rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(float(lc), float(lg), rtol=3e-4)
+        flat_g = jax.tree_util.tree_leaves_with_path(gg)
+        flat_c = dict(jax.tree_util.tree_leaves_with_path(gc))
+        for path, vg in flat_g:
+            vc = flat_c[path]
+            sc = np.abs(np.asarray(vg, np.float32)).max() + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(vc, np.float32) / sc,
+                np.asarray(vg, np.float32) / sc,
+                atol=5e-3, err_msg=f"nb={nb} {path}")
