@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--march_seg", type=int, default=-1,
                     help="-1 sweeps {0, 8}; otherwise fixes the segment "
                          "length (0 = dense lattice)")
+    ap.add_argument("--assembly", default="gather",
+                    choices=("gather", "cumsum"),
+                    help="packed-path per-slot assembly impl for all arms")
     ap.add_argument("--overcommit", type=float, default=None,
                     help="seg_overcommit override (seg arms dropped ~50%% "
                          "of valid samples at the 1.5 default: segments "
@@ -95,6 +98,7 @@ def main():
                                             compact_impl=args.compact,
                                             march_seg=seg,
                                             remat_feats=args.remat_feats,
+                                            assembly_impl=args.assembly,
                                             **over)
                 field_i = build_field(cfg_i, flags)
                 step_fn = make_train_step(field_i, cfg_i, flags,
