@@ -178,6 +178,12 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 kw = ({"compact_impl": cfg.compact_impl,
                        "assembly_impl": cfg.assembly_impl}
                       if cfg.packed_render else {})
+                if (cfg.packed_render and cfg.cone_angle == 0.0
+                        and not (s_cap and s_cap < cfg.max_march_steps)):
+                    # uniform steps on the UNPACKED lattice: per-slot t
+                    # reconstructs from t_min[ray] + column*dt (s_cap
+                    # packing reorders columns, so it disables this)
+                    kw["uniform_dt"] = cfg.render_step_size
                 out = render(
                     field, params,
                     batch["origins"], batch["viewdirs"], cand,

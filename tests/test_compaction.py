@@ -265,6 +265,36 @@ def test_packed_matches_dense_outputs_and_grads():
     np.testing.assert_allclose(np.asarray(outb.rgb), np.asarray(outd.rgb),
                                rtol=2e-4, atol=2e-4)
 
+    # uniform-step lattice: cumsum assembly with uniform_dt (per-slot t
+    # reconstructed from t_min[ray] + column*dt, no lattice gather) matches
+    # the gather assembly on the same candidates
+    s = 0.03
+    t0u = (jnp.arange(16, dtype=jnp.float32)[None, :] * s
+           + jnp.linspace(0.0, 0.02, 8)[:, None])
+    cand_u = cand._replace(t_starts=t0u, dts=jnp.full_like(t0u, s))
+
+    def loss_u(p, assembly_impl, uniform_dt):
+        out = render_rays_budget_packed(
+            field, p, o, d, cand_u, ts, bkgd, jnp.float32(0.5),
+            budget=budget, alpha_thre=1e-3, train=True,
+            assembly_impl=assembly_impl, uniform_dt=uniform_dt)
+        return jnp.sum((out.rgb - pixels) ** 2), out
+
+    (lug, outug), gug = jax.value_and_grad(
+        lambda p: loss_u(p, "gather", None), has_aux=True)(params)
+    (luc, outuc), guc = jax.value_and_grad(
+        lambda p: loss_u(p, "cumsum", s), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(outuc.rgb), np.asarray(outug.rgb),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(float(luc), float(lug), rtol=3e-4)
+    for (pth, vg), (_, vc) in zip(
+            jax.tree_util.tree_leaves_with_path(gug),
+            jax.tree_util.tree_leaves_with_path(guc)):
+        sc_ = np.abs(np.asarray(vg, np.float32)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(vc, np.float32) / sc_,
+                                   np.asarray(vg, np.float32) / sc_,
+                                   atol=5e-3, err_msg=f"uniform {pth}")
+
     # cumsum assembly (segment-broadcast ri/base) matches the gather
     # assembly's outputs and gradients at the same block layout (a multi-
     # block layout can drop different rays than the single-block dense
