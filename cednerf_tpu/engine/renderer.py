@@ -347,8 +347,14 @@ def pack_budget_samples(
             # t0[r, j] = t_min[r] + j*dt with per-RAY jitter baked into
             # t_min, so per-slot t reconstructs from the broadcast t_min +
             # the slot's lattice column — no [B]-row gather from the
-            # [R*M, 2] t lattice at all.
-            cols = jnp.concatenate([cols, cand.t_starts[:, :1]], axis=-1)
+            # [R*M, 2] t lattice at all. AABB-miss rays can carry huge
+            # slab t_min (~1e10); broadcasting telescopes first
+            # differences through an f32 cumsum, so one outlier would
+            # shift every later ray's reconstructed t by ~ulp(outlier).
+            # Zero the column for rays with no kept samples (their slots
+            # don't exist; unit-scale values keep the telescoping exact).
+            tmin = jnp.where(counts > 0, cand.t_starts[:, 0], 0.0)
+            cols = jnp.concatenate([cols, tmin[:, None]], axis=-1)
         ri = segment_broadcast(cols, starts, budget, n_blocks)
     else:
         ri = jnp.take(_ray_info(origins, viewdirs, timestamps), ray, axis=0,

@@ -273,27 +273,30 @@ def test_packed_matches_dense_outputs_and_grads():
            + jnp.linspace(0.0, 0.02, 8)[:, None])
     cand_u = cand._replace(t_starts=t0u, dts=jnp.full_like(t0u, s))
 
-    def loss_u(p, assembly_impl, uniform_dt):
+    def loss_u(p, assembly_impl, uniform_dt, nb=1):
         out = render_rays_budget_packed(
             field, p, o, d, cand_u, ts, bkgd, jnp.float32(0.5),
-            budget=budget, alpha_thre=1e-3, train=True,
+            budget=budget, alpha_thre=1e-3, train=True, n_blocks=nb,
             assembly_impl=assembly_impl, uniform_dt=uniform_dt)
         return jnp.sum((out.rgb - pixels) ** 2), out
 
-    (lug, outug), gug = jax.value_and_grad(
-        lambda p: loss_u(p, "gather", None), has_aux=True)(params)
-    (luc, outuc), guc = jax.value_and_grad(
-        lambda p: loss_u(p, "cumsum", s), has_aux=True)(params)
-    np.testing.assert_allclose(np.asarray(outuc.rgb), np.asarray(outug.rgb),
-                               rtol=3e-4, atol=3e-4)
-    np.testing.assert_allclose(float(luc), float(lug), rtol=3e-4)
-    for (pth, vg), (_, vc) in zip(
-            jax.tree_util.tree_leaves_with_path(gug),
-            jax.tree_util.tree_leaves_with_path(guc)):
-        sc_ = np.abs(np.asarray(vg, np.float32)).max() + 1e-8
-        np.testing.assert_allclose(np.asarray(vc, np.float32) / sc_,
-                                   np.asarray(vg, np.float32) / sc_,
-                                   atol=5e-3, err_msg=f"uniform {pth}")
+    for nb in (1, 2):
+        (lug, outug), gug = jax.value_and_grad(
+            lambda p: loss_u(p, "gather", None, nb), has_aux=True)(params)
+        (luc, outuc), guc = jax.value_and_grad(
+            lambda p: loss_u(p, "cumsum", s, nb), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(outuc.rgb),
+                                   np.asarray(outug.rgb),
+                                   rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(float(luc), float(lug), rtol=3e-4)
+        for (pth, vg), (_, vc) in zip(
+                jax.tree_util.tree_leaves_with_path(gug),
+                jax.tree_util.tree_leaves_with_path(guc)):
+            sc_ = np.abs(np.asarray(vg, np.float32)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(vc, np.float32) / sc_,
+                                       np.asarray(vg, np.float32) / sc_,
+                                       atol=5e-3,
+                                       err_msg=f"uniform nb={nb} {pth}")
 
     # cumsum assembly (segment-broadcast ri/base) matches the gather
     # assembly's outputs and gradients at the same block layout (a multi-
@@ -319,3 +322,30 @@ def test_packed_matches_dense_outputs_and_grads():
                 np.asarray(vc, np.float32) / sc,
                 np.asarray(vg, np.float32) / sc,
                 atol=5e-3, err_msg=f"nb={nb} {path}")
+
+
+def test_uniform_dt_outlier_tmin_ray_does_not_corrupt_neighbors():
+    """An AABB-miss ray carrying a huge slab t_min (no valid candidates)
+    must not shift later rays' reconstructed t: the broadcast t_min column
+    telescopes f32 first differences, so outliers are zeroed by counts."""
+    field, params, o, d, cand, ts, bkgd = _setup(seed=11, r=8, m=16)
+    s = 0.03
+    t_min = jnp.linspace(0.0, 0.02, 8)
+    t0u = t_min[:, None] + jnp.arange(16, dtype=jnp.float32)[None, :] * s
+    valid = np.asarray(cand.valid).copy()
+    valid[3] = False                       # ray 3: no candidates...
+    t0u = t0u.at[3].add(1.0e8)             # ...and an outlier slab t_min
+    cand_u = cand._replace(t_starts=t0u, dts=jnp.full_like(t0u, s),
+                           valid=jnp.asarray(valid))
+    from cednerf_tpu.engine.renderer import pack_budget_samples
+
+    ps_g = pack_budget_samples(o, d, cand_u, ts, budget=96)
+    ps_c = pack_budget_samples(o, d, cand_u, ts, budget=96,
+                               assembly_impl="cumsum", uniform_dt=s)
+    m = np.asarray(ps_g.valid)
+    np.testing.assert_allclose(np.asarray(ps_c.t_starts)[m],
+                               np.asarray(ps_g.t_starts)[m],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ps_c.pos)[m],
+                               np.asarray(ps_g.pos)[m],
+                               rtol=1e-5, atol=1e-5)

@@ -13,7 +13,6 @@ runT() {
   timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
   echo "=== $name rc=$? ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 }
-run() { runT 5400 "$@"; }
 
 # wait for the val_1m process (pid file) to exit; 45 min cap
 if [ -f "$OUT/val.pid" ]; then
@@ -41,6 +40,14 @@ runT 2400 bench_asm_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 10485
     python bench.py
 runT 2400 bench_asm_scatp_1m env CEDNERF_BENCH_CFG='{"scatter_impl": "pallas", "target_sample_batch_size": 1048576, "assembly_impl": "cumsum"}' \
     python bench.py
+# Seed the promotion pool with the PRIOR session's winning bench runs and
+# quality gates so a slower new arm can never displace the standing
+# default, and the 1M-budget arms are PSNR-gated by this session's val_1m
+# (pick_bench_defaults picks the fastest gated candidate across the dir).
+for f in bench_scatp_1m.log bench_default.log; do
+  [ -f "/tmp/tpu_session_r2/$f" ] && cp -n "/tmp/tpu_session_r2/$f" "$OUT/"
+done
+[ -d /tmp/tpu_session_r2/val_default ] && cp -rn /tmp/tpu_session_r2/val_default "$OUT/"
 runT 1200 pick_defaults python tools/pick_bench_defaults.py "$OUT"
 
 # full-scale texture A/B (the round-1 VERDICT item 3 gate): brick L8F4
