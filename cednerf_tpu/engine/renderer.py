@@ -18,6 +18,7 @@ from ..ops.occupancy import (OccGridState, RayCandidates, RaySamples,
                              march_t_lattice, occupancy_lookup,
                              pooled_binaries)
 from ..ops.render import composite, reduce_along_rays, render_weights_from_density
+from ..ops.segments import segment_broadcast
 from .config import SceneConfig
 
 
@@ -339,8 +340,6 @@ def pack_budget_samples(
     if assembly_impl == "cumsum":
         # segment broadcast (delta scatter + cumsum) instead of a [B]-row
         # take by ray id: ~4x cheaper at 1M slots (tools/profile_layouts.py)
-        from ..ops.segments import segment_broadcast
-
         cols = _ray_info(origins, viewdirs, timestamps)
         if uniform_dt is not None:
             # uniform step schedule (cone_angle == 0): the lattice is
@@ -582,8 +581,6 @@ def render_packed(
     base_sd = jnp.take(
         jnp.concatenate([excl_sd, jnp.sum(sdelta_p)[None]]), starts)
     if assembly_impl == "cumsum":
-        from ..ops.segments import segment_broadcast
-
         base_b = segment_broadcast(base_sd, starts, budget, n_blocks)
     else:
         base_b = jnp.take(base_sd, ray)

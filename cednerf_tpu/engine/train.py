@@ -210,7 +210,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                     loss += L.packed_distortion_loss(
                         extras["weights_p"], extras["t_starts_p"],
                         extras["dts_p"], starts, counts, budget,
-                        complete) * 1e-3
+                        complete, n_blocks=cfg.compact_blocks) * 1e-3
                 if flags.weight_rgbper:
                     loss += L.packed_rgbper_loss(
                         extras["rgbs_p"], batch["pixels"],

@@ -8,6 +8,7 @@ SURVEY §2b N7) with closed-form masked reductions along the dense sample axis.
 import jax.numpy as jnp
 
 from ..utils.math import exclusive_cumsum
+from .segments import segment_broadcast, segment_sum
 
 
 def distortion_loss(weights, t_starts, t_ends, mask=None, ray_weights=None):
@@ -90,45 +91,36 @@ def packed_ray_sum_mean(per_slot, starts, counts, budget, ray_weights):
 
     per_slot [B] must already be zero at invalid slots. ray_weights [R]
     (0/1 complete mask) or None (every ray counts)."""
-    from .segments import segment_sum
-
-    sums = segment_sum(per_slot, starts, counts, budget)     # [R]
-    if ray_weights is None:
-        return jnp.sum(sums) / sums.shape[0]
-    rw = ray_weights.reshape(-1)
-    return jnp.sum(sums * rw) / jnp.maximum(jnp.sum(rw), 1.0)
+    return ray_mean(segment_sum(per_slot, starts, counts, budget),
+                    ray_weights)
 
 
 def packed_distortion_loss(weights_p, t_starts_p, dts_p, starts, counts,
-                           budget, ray_weights):
+                           budget, ray_weights, n_blocks: int = 1):
     """distortion_loss on the packed buffer (same math, segment prefixes).
 
-    The per-slot form expands to per-ray segment sums:
-      L(ray) = S[2w(mid*cw - cwm) + w^2 dt/3] - 2 bw S[w*mid] + 2 bwm S[w]
-    with cw/cwm the GLOBAL exclusive prefixes of w / w*mid, bw/bwm their
-    values at the ray's segment start, and S[.] per-segment sums — so the
-    whole loss is one [B,3]-channel segment_sum plus [R]-sized math, with
-    no [B]-sized broadcast of the ray bases.
+    Keeps the reference's pre-subtracted per-slot form
+      per_slot = 2 w (mid*(cw - bw) - (cwm - bwm)) + w^2 dt / 3
+    (per-ray prefixes = global prefixes minus segment-broadcast ray
+    bases): every per-slot term stays O(1), so the final segment_sum's
+    f32 cumsum carries only the O(sum w) render-channel scale. The
+    algebraically equivalent fully-expanded form (segment sums of
+    w*mid*cw etc.) is catastrophically cancelled in f32 — its channel
+    cumsums grow ~quadratically with slot index (measured 71% loss-value
+    error at 262k slots) — so it must NOT be used.
     """
-    from .segments import segment_sum
-
     mid = t_starts_p + 0.5 * dts_p
     w = weights_p
     wm = w * mid
     cw = exclusive_cumsum(w, axis=0)
     cwm = exclusive_cumsum(wm, axis=0)
-    bw = _ray_base(cw, starts, jnp.sum(w))                   # [R]
-    bwm = _ray_base(cwm, starts, jnp.sum(wm))                # [R]
-    chans = jnp.stack(
-        [2.0 * w * (mid * cw - cwm) + w ** 2 * dts_p / 3.0,
-         w * mid,
-         w], axis=-1)                                        # [B, 3]
-    s = segment_sum(chans, starts, counts, budget)           # [R, 3]
-    per_ray = s[:, 0] - 2.0 * bw * s[:, 1] + 2.0 * bwm * s[:, 2]
-    if ray_weights is None:
-        return jnp.sum(per_ray) / per_ray.shape[0]
-    rw = ray_weights.reshape(-1)
-    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)
+    bases = jnp.stack([_ray_base(cw, starts, jnp.sum(w)),
+                       _ray_base(cwm, starts, jnp.sum(wm))], axis=-1)
+    bases_b = segment_broadcast(bases, starts, budget, n_blocks)  # [B, 2]
+    pref_w = cw - bases_b[:, 0]
+    pref_wm = cwm - bases_b[:, 1]
+    per_slot = 2.0 * w * (mid * pref_w - pref_wm) + w ** 2 * dts_p / 3.0
+    return packed_ray_sum_mean(per_slot, starts, counts, budget, ray_weights)
 
 
 def packed_rgbper_loss(rgbs_p, pixels, weights_p, starts, counts, budget,
@@ -137,10 +129,9 @@ def packed_rgbper_loss(rgbs_p, pixels, weights_p, starts, counts, budget,
 
     ||rgb - pix||^2 * w expands to S[w*||rgb||^2] - 2 pix . S[w*rgb]
     + ||pix||^2 S[w] per ray — one [B,5] segment_sum instead of a [B,3]
-    pixel broadcast by ray id.
+    pixel broadcast by ray id. (Unlike the distortion expansion, every
+    channel here is O(w) per slot — no prefix-scale blowup.)
     """
-    from .segments import segment_sum
-
     w = weights_p[:, None]
     chans = jnp.concatenate(
         [jnp.sum(rgbs_p ** 2, axis=-1, keepdims=True) * w,
@@ -149,21 +140,12 @@ def packed_rgbper_loss(rgbs_p, pixels, weights_p, starts, counts, budget,
     s = segment_sum(chans, starts, counts, budget)           # [R, 5]
     per_ray = (s[:, 0] - 2.0 * jnp.sum(pixels * s[:, 1:4], axis=-1)
                + jnp.sum(pixels ** 2, axis=-1) * s[:, 4])
-    if ray_weights is None:
-        return jnp.sum(per_ray) / per_ray.shape[0]
-    rw = ray_weights.reshape(-1)
-    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)
+    return ray_mean(per_ray, ray_weights)
 
 
 def packed_per_ray_mean(per_slot, valid_p, starts, counts, budget,
                         ray_weights):
     """ray_mean of per-ray MEANS over valid slots (reduce='mean' parity)."""
-    from .segments import segment_sum
-
     s = segment_sum(jnp.stack([per_slot, valid_p], axis=-1),
                     starts, counts, budget)                  # [R, 2]
-    per_ray = s[:, 0] / jnp.maximum(s[:, 1], 1.0)
-    if ray_weights is None:
-        return jnp.sum(per_ray) / per_ray.shape[0]
-    rw = ray_weights.reshape(-1)
-    return jnp.sum(per_ray * rw) / jnp.maximum(jnp.sum(rw), 1.0)
+    return ray_mean(s[:, 0] / jnp.maximum(s[:, 1], 1.0), ray_weights)

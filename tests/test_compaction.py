@@ -214,7 +214,7 @@ def test_packed_matches_dense_outputs_and_grads():
             starts, counts = e["starts"], e["counts"]
             loss += L.packed_distortion_loss(
                 e["weights_p"], e["t_starts_p"], e["dts_p"], starts, counts,
-                budget, complete)
+                budget, complete, n_blocks=n_blocks)
             loss += L.packed_rgbper_loss(
                 e["rgbs_p"], pixels, jax.lax.stop_gradient(e["weights_p"]),
                 starts, counts, budget, complete)

@@ -9,22 +9,31 @@ from cednerf_tpu.ops.segments import segment_broadcast, segment_sum
 
 
 def _layout(rng, r, budget, n_blocks, overflow=False):
-    """Random per-ray counts -> per-block starts (renderer _block_starts)."""
+    """Random per-ray counts -> per-block starts (renderer _block_starts).
+
+    Kept counts are truncated at each ray's OWN block's end (the
+    production compaction never lets a block's segments spill into the
+    next block; an overflowed start is clamped and its ray keeps zero
+    samples), so segments never overlap.
+    """
     rb = r // n_blocks
     bb = budget // n_blocks
-    hi = (2 * bb) // rb + 2 if overflow else max(bb // rb, 1)
+    hi = (3 * bb) // rb + 3 if overflow else max(bb // rb, 1)
     counts = rng.integers(0, hi + 1, size=r).astype(np.int32)
     cb = counts.reshape(n_blocks, rb)
     starts = (np.cumsum(cb, axis=-1) - cb
               + (np.arange(n_blocks) * bb)[:, None]).reshape(-1)
     starts = np.minimum(starts, budget).astype(np.int32)
-    # clip counts so segments stay inside their block (kept samples only)
-    ends = np.minimum(starts + counts, ((starts // bb) + 1) * bb)
-    ends = np.minimum(ends, budget)
+    blk = np.arange(r) // rb
+    block_end = (blk + 1) * bb
+    ends = np.minimum(starts + counts, block_end)
     kept = np.maximum(ends - np.minimum(starts, ends), 0).astype(np.int32)
     ray = np.full(budget, -1, np.int32)
     for i in range(r):
         ray[starts[i]:starts[i] + kept[i]] = i
+    if overflow:
+        assert (counts.reshape(n_blocks, -1).sum(-1) > bb).any(), \
+            "overflow fixture failed to overflow"
     return jnp.asarray(starts), jnp.asarray(kept), ray
 
 
@@ -105,3 +114,36 @@ def test_segment_sum_is_linear_grad():
     m = ray >= 0
     expect[m] = np.asarray(rw)[ray[m]]
     np.testing.assert_allclose(g, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_distortion_loss_accurate_at_production_scale():
+    """f32 accuracy guard: the packed distortion loss must keep per-slot
+    terms O(1) (pre-subtracted prefixes). The algebraically-equivalent
+    fully-expanded segment-sum form cancels catastrophically at this scale
+    (71% loss error measured at 262k slots) — this test pins the accurate
+    formulation."""
+    from cednerf_tpu.ops.losses import packed_distortion_loss
+
+    rng = np.random.default_rng(0)
+    r, s = 4096, 64
+    budget = r * s
+    counts = np.full(r, s, np.int32)
+    starts = (np.cumsum(counts) - counts).astype(np.int32)
+    dts = np.full((r, s), 0.005, np.float32)
+    t0 = (np.cumsum(dts, axis=-1) - dts + rng.random((r, 1))).astype(np.float32)
+    w = (rng.random((r, s)) * 0.05).astype(np.float32)
+
+    # f64 reference: per-ray prefix form of sum_ij w_i w_j |m_i - m_j|
+    w64 = w.astype(np.float64)
+    mid = (t0 + 0.5 * dts).astype(np.float64)
+    cw = np.cumsum(w64, axis=-1) - w64
+    cwm = np.cumsum(w64 * mid, axis=-1) - w64 * mid
+    per_ray = (2.0 * (w64 * (mid * cw - cwm)).sum(-1)
+               + (w64 ** 2 * dts).sum(-1) / 3.0)
+    ref = per_ray.mean()
+
+    got = float(packed_distortion_loss(
+        jnp.asarray(w.reshape(-1)), jnp.asarray(t0.reshape(-1)),
+        jnp.asarray(dts.reshape(-1)), jnp.asarray(starts),
+        jnp.asarray(counts), budget, None))
+    assert abs(got - ref) / ref < 2e-2, (got, ref)
