@@ -90,11 +90,13 @@ class SceneConfig:
     # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
     # bit-compatible, single-block only — falls back otherwise)
     compact_impl: str = "xla"
-    # per-slot assembly impl in the packed path: "gather" (take by ray id)
-    # or "cumsum" (ops/segments.py segment_broadcast: delta scatter +
-    # cumsum — ~4x cheaper per instance at 1M slots on v5e; f32
-    # re-association ~1e-5 on broadcast inputs)
-    assembly_impl: str = "gather"
+    # per-slot assembly impl in the packed path: "cumsum" (ops/segments.py
+    # segment_broadcast: delta scatter + cumsum; f32 re-association ~1e-5
+    # on broadcast inputs) or "gather" (take by ray id — the v5e per-row
+    # wall, ~4x the cost per instance at 1M slots). Measured 2026-08-19:
+    # cumsum cuts the 262k step 94->90 ms and the 1M step ~420->397 ms;
+    # bench 2.53M samples/s at 1M vs 2.15M for the gather-era default.
+    assembly_impl: str = "cumsum"
     # packed compositing (renderer.render_rays_budget_packed): transmittance
     # + accumulation run on the [budget] buffer via segment cumsums - no
     # [R*M, C] scatter-back or [R, M] composite arrays in the train program
