@@ -280,6 +280,17 @@ def _feature_selector(n_features: int, dtype):
     return jnp.asarray(sel.astype(np.float32), dtype)
 
 
+def _corner_sum_selector(n_features: int, dtype):
+    """Static [64*F, 64] 0/1 matrix: row c*F+f -> column c.
+
+    (feats * gout) @ selector sums each corner's F feature lanes with one
+    skinny MXU matmul, collapsing the full-width row to one value per corner
+    — the entry point of the narrow (64-lane) position-gradient algebra."""
+    sel = np.kron(np.eye(CORNERS_PER_BRICK, dtype=np.float32),
+                  np.ones((n_features, 1), np.float32))
+    return jnp.asarray(sel, dtype)
+
+
 def _level_rows_and_weights(x, lvl: int, lay: dict, spec: BrickGridSpec,
                             full_width: bool = False,
                             weight_dtype=jnp.float32):
@@ -459,11 +470,6 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
             return jnp.take(res_tf.astype(cdtype), rows, axis=0)
         return res_tf
 
-    # constant [F, W] one-hot expanding a feature cotangent to lane width
-    _expand_np = (np.zeros((1, CORNERS_PER_BRICK, 1), np.float32)
-                  + np.eye(n_feat, dtype=np.float32)[:, None, :]).reshape(
-                      n_feat, W)
-
     def bwd_cmp(res, g):
         x, tf = res
         rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
@@ -479,20 +485,40 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                 n_feat=F, compute_dtype=cdtype, accum_dtype=adt0)
             return (d_table.astype(jnp.dtype(table_dtype_name)),
                     d_x.astype(x.dtype))
-        (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
-        expand = jnp.asarray(_expand_np, cdtype)
-        gout = jnp.dot(g.astype(cdtype), expand)           # [N, W]
+        # Full-width weights feed ONLY the scatter's update rows, so XLA
+        # fuses their construction into the scatter — no [N, W] HBM arrays.
+        # gout is a broadcast-reshape of g (not a dot): sharing it between
+        # the scatter and the h64 matmul costs nothing to materialize.
+        (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
+        n = x.shape[0]
+        gout = jnp.broadcast_to(
+            g.astype(cdtype)[:, None, :], (n, CORNERS_PER_BRICK, F)
+        ).reshape(n, W)
         upd = (wx * wy * wz) * gout
         adt = jnp.dtype(accum_dtype_name)
         d_table = _scatter_rows(rows, upd, n_rows, adt, scatter_impl)
-        h = feats * gout
+        # Narrow position-gradient path: one skinny MXU matmul reduces the
+        # feature lanes ([N, W] @ [W, 64]), then all d_x algebra runs at
+        # 64-lane width. The wide form shared its [N, W] weight/dw arrays
+        # with the scatter fusion, materializing ~7 of them per level
+        # (~14 ms/level at 1M samples on v5e); this form materializes h64
+        # ([N, 64]) only.
+        h64 = jnp.dot(feats * gout, _corner_sum_selector(F, cdtype),
+                      preferred_element_type=jnp.float32).astype(cdtype)
+        ws64, dws64 = [], []
+        for a in range(3):
+            w1, dw1 = _lane_axis_weights_2d(a, intra[:, a], frac[:, a],
+                                            cdtype, 1, True)
+            ws64.append(w1)
+            dws64.append(dw1)
 
-        def lane_dot(a_, b_, c_):
-            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
+        def lane_dot64(a_, b_, c_):
+            return jnp.sum((h64 * a_ * b_ * c_).astype(jnp.float32), axis=-1)
 
         d_frac = jnp.stack(
-            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
-             lane_dot(wx, wy, dwz)], axis=-1)
+            [lane_dot64(dws64[0], ws64[1], ws64[2]),
+             lane_dot64(ws64[0], dws64[1], ws64[2]),
+             lane_dot64(ws64[0], ws64[1], dws64[2])], axis=-1)
         d_x = d_frac * jnp.float32(scale) * ok
         return (d_table.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype))
@@ -888,10 +914,6 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
         out, lo, hi = fwd_impl(flat, x, t)
         return out, (x, t, lo, hi)
 
-    _expand_np = (np.zeros((1, CORNERS_PER_BRICK, 1), np.float32)
-                  + np.eye(n_feat, dtype=np.float32)[:, None, :]).reshape(
-                      n_feat, W)
-
     def bwd(res, g):
         x, t, *tf = res
         rows, intra, frac, ok = geom(x)
@@ -902,10 +924,15 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
             hi = jnp.take(fl, rows * K + idx_lo + 1, axis=0)
         else:
             lo, hi = tf
-        (wx, wy, wz), (dwx, dwy, dwz) = cmp_lanes(intra, frac, True)
+        # Full-width weights feed only the scatter updates (fused); the
+        # position/time gradients run in the narrow 64-lane form (see the 3D
+        # bwd_cmp): one corner-sum matmul each, then 64-wide algebra.
+        (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
+        n = x.shape[0]
         w_row = wx * wy * wz
-        expand = jnp.asarray(_expand_np, cdtype)
-        gout = jnp.dot(g.astype(cdtype), expand)        # [N, W]
+        gout = jnp.broadcast_to(
+            g.astype(cdtype)[:, None, :], (n, CORNERS_PER_BRICK, F)
+        ).reshape(n, W)
         upd = w_row * gout
         tfc = t_frac[:, None]
         adt = jnp.dtype(accum_dtype_name)
@@ -923,16 +950,28 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
                 jnp.concatenate([upd * (1.0 - tfc), upd * tfc]),
                 n_rows * K, adt, scatter_impl)
         feats = lo * (1.0 - tfc.astype(cdtype)) + hi * tfc.astype(cdtype)
-        h = feats * gout
+        sum_sel = _corner_sum_selector(F, cdtype)
+        h64 = jnp.dot(feats * gout, sum_sel,
+                      preferred_element_type=jnp.float32).astype(cdtype)
+        t64 = jnp.dot((hi - lo) * gout, sum_sel,
+                      preferred_element_type=jnp.float32).astype(cdtype)
+        ws64, dws64 = [], []
+        for a in range(3):
+            w1, dw1 = _lane_axis_weights_2d(a, intra[:, a], frac[:, a],
+                                            cdtype, 1, True)
+            ws64.append(w1)
+            dws64.append(dw1)
+        w64_row = ws64[0] * ws64[1] * ws64[2]
 
-        def lane_dot(a_, b_, c_):
-            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
+        def lane_dot64(a_, b_, c_):
+            return jnp.sum((h64 * a_ * b_ * c_).astype(jnp.float32), axis=-1)
 
         d_frac = jnp.stack(
-            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
-             lane_dot(wx, wy, dwz)], axis=-1)
+            [lane_dot64(dws64[0], ws64[1], ws64[2]),
+             lane_dot64(ws64[0], dws64[1], ws64[2]),
+             lane_dot64(ws64[0], ws64[1], dws64[2])], axis=-1)
         d_x = d_frac * jnp.float32(scale) * ok
-        d_tf = jnp.sum(((hi - lo) * upd).astype(jnp.float32), axis=-1)
+        d_tf = jnp.sum((t64 * w64_row).astype(jnp.float32), axis=-1)
         d_t = (d_tf * jnp.float32(K - 1)).reshape(t.shape).astype(t.dtype)
         return (d_flat.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype), d_t)
