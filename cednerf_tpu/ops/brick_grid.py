@@ -259,14 +259,14 @@ def _corner_weights(intra, frac, dtype, n_features: int = 1):
             * w[:, 2, None, None, :]
         )  # [N, 4, 4, 4]
         return w64.reshape(-1, CORNERS_PER_BRICK)
-    wf = (
-        w[:, 0, :, None, None, None] * w[:, 1, None, :, None, None]
-        * w[:, 2, None, None, :, None]
-    )  # [N, 4, 4, 4, 1]
-    wf = jnp.broadcast_to(
-        wf, (wf.shape[0], BRICK_CORNERS, BRICK_CORNERS, BRICK_CORNERS, n_features)
-    )
-    return wf.reshape(-1, CORNERS_PER_BRICK * n_features)
+    # F > 1: compare-build each axis factor directly at full lane width and
+    # multiply. The earlier [N,4,4,4,1] -> broadcast -> reshape form landed
+    # the [N, 64F] result in a {0,1} layout that XLA then physically
+    # transposed to {1,0} — one 1.6 ms copy per instance at 1M samples on
+    # v5e (trace 2026-08-19).
+    wa = [_lane_axis_weights_2d(a, intra[:, a], frac[:, a], dtype,
+                                n_features, False)[0] for a in range(3)]
+    return (wa[0] * wa[1]) * wa[2]
 
 
 def _feature_selector(n_features: int, dtype):
@@ -278,6 +278,25 @@ def _feature_selector(n_features: int, dtype):
     rows = np.arange(CORNERS_PER_BRICK * n_features)
     sel = (rows[:, None] % n_features == np.arange(n_features)[None, :])
     return jnp.asarray(sel.astype(np.float32), dtype)
+
+
+def _expand_feat_lanes(g, n_features: int):
+    """Replicate per-feature values across corner lanes: [N, F] -> [N, 64F].
+
+    out[:, c*F + f] = g[:, f], built by compare-select against the constant
+    lane->feature index — pure 2-D elementwise ops at full row width that
+    XLA fuses into the consumer. The broadcast([N,1,F])->reshape form
+    materializes the result in a {0,1} layout and pays a physical {1,0}
+    transpose copy (~1.6 ms per instance at 1M samples on v5e)."""
+    if n_features == 1:
+        return jnp.broadcast_to(g, (g.shape[0], CORNERS_PER_BRICK))
+    lane_feat = jnp.asarray(
+        np.arange(CORNERS_PER_BRICK * n_features) % n_features, jnp.int32
+    )[None, :]
+    out = jnp.broadcast_to(g[:, 0:1], (g.shape[0], lane_feat.shape[1]))
+    for f in range(1, n_features):
+        out = jnp.where(lane_feat == f, g[:, f:f + 1], out)
+    return out
 
 
 def _corner_sum_selector(n_features: int, dtype):
@@ -421,10 +440,13 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
     cdtype = jnp.dtype(dtype_name)
     F = n_feat
     W = CORNERS_PER_BRICK * F
-    # 'hybrid' (default): outer-product weights in the forward (fastest fwd),
-    # compare-built lane weights in the backward (fastest bwd) — both
-    # measured on v5e at 262k samples, see tools/profile_encoder.py.
-    cmp_fwd = dx_impl == "cmp"
+    # 'hybrid'/'cmp' (default): compare-built lane weights in BOTH passes.
+    # The outer-product forward measured marginally faster at 262k samples,
+    # but its [N,4,4,4,F] broadcast+reshape materializes the [N, 64F]
+    # weights in a {0,1} layout that XLA physically transposes (1.6 ms per
+    # copy at 1M on v5e, trace 2026-08-19); compare-built factors fuse into
+    # the gather/scatter consumers with no materialization at all.
+    cmp_fwd = dx_impl in ("cmp", "hybrid")
     cmp_bwd = dx_impl in ("cmp", "hybrid")
 
     def cmp_lanes(intra, frac, with_d: bool):
@@ -487,13 +509,11 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                     d_x.astype(x.dtype))
         # Full-width weights feed ONLY the scatter's update rows, so XLA
         # fuses their construction into the scatter — no [N, W] HBM arrays.
-        # gout is a broadcast-reshape of g (not a dot): sharing it between
-        # the scatter and the h64 matmul costs nothing to materialize.
+        # gout is compare-select-built at lane width (shared by the scatter
+        # and the h64 matmul); the broadcast-reshape form paid a physical
+        # layout-transpose copy per level (trace 2026-08-19).
         (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
-        n = x.shape[0]
-        gout = jnp.broadcast_to(
-            g.astype(cdtype)[:, None, :], (n, CORNERS_PER_BRICK, F)
-        ).reshape(n, W)
+        gout = _expand_feat_lanes(g.astype(cdtype), F)
         upd = (wx * wy * wz) * gout
         adt = jnp.dtype(accum_dtype_name)
         d_table = _scatter_rows(rows, upd, n_rows, adt, scatter_impl)
@@ -891,8 +911,8 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
     def fwd_impl(flat, x, t):
         rows, intra, frac, _ = geom(x)
         idx_lo, t_frac = time_geom(t)
-        w, _ = _axis_factors(intra, frac, cdtype)
-        w_full = _w_lanes(w, F)
+        (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
+        w_full = (wx * wy) * wz
         fl = flat.astype(cdtype)
         lo = jnp.take(fl, rows * K + idx_lo, axis=0)
         hi = jnp.take(fl, rows * K + idx_lo + 1, axis=0)
@@ -928,11 +948,8 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
         # position/time gradients run in the narrow 64-lane form (see the 3D
         # bwd_cmp): one corner-sum matmul each, then 64-wide algebra.
         (wx, wy, wz), _ = cmp_lanes(intra, frac, False)
-        n = x.shape[0]
         w_row = wx * wy * wz
-        gout = jnp.broadcast_to(
-            g.astype(cdtype)[:, None, :], (n, CORNERS_PER_BRICK, F)
-        ).reshape(n, W)
+        gout = _expand_feat_lanes(g.astype(cdtype), F)
         upd = w_row * gout
         tfc = t_frac[:, None]
         adt = jnp.dtype(accum_dtype_name)
