@@ -185,6 +185,19 @@ def _scatter_rows(rows, upd, n_rows: int, adt, impl: str):
     for the one-hot matmul), so every spec stays runnable on every batch.
     """
     n, w = upd.shape
+    if impl == "xla" and n_rows <= 512 and n >= 65536:
+        # Tiny dense tables (e.g. the coarsest level's 216 bricks): the
+        # .at[].add scatter still pays the v5e per-row wall (~10.7 ms per
+        # 1M rows, trace 2026-08-19) — a one-hot MXU contraction does the
+        # same accumulation in FLOPs (n*n_rows*w*2 ≈ 110 GFLOP at 1M x 216
+        # x 256 ≈ 1-2 ms) with f32 accumulation (more accurate than the
+        # bf16 sequential scatter it replaces).
+        oh = (rows[:, None] == jnp.arange(n_rows, dtype=rows.dtype)[None, :])
+        return jax.lax.dot_general(
+            oh.astype(upd.dtype), upd,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(adt)
     if impl == "auto":
         impl = "onehot" if n_rows <= 1024 else "pallas"
     if impl == "fused":
