@@ -104,6 +104,18 @@ class SceneConfig:
     init_batch_size: int = 1024
     # TPU additions -----------------------------------------------------
     max_march_steps: int = 1024         # candidate steps per ray during marching
+    # steady-state lattice slots with empty-space skipping (0 = off): after
+    # occupancy warmup, each ray's lattice start advances past leading
+    # unoccupied space (ops/occupancy.py advance_t_min — a pooled coarse
+    # probe over the full max_march_steps span), so the per-ray lattice
+    # shrinks to this many slots. Sample positions are identical to the
+    # full lattice's; rays whose occupied span exceeds the shrunken lattice
+    # are loss-masked via `complete` (telemetry: complete_frac). Every
+    # lattice-proportional cost (compaction sel build, occupancy gathers,
+    # position math — ~67 ms/step of the 1M-budget trace at 1024 slots)
+    # scales down by steady_march_steps/max_march_steps. Uniform-step
+    # configs only (cone_angle == 0); ignored otherwise.
+    steady_march_steps: int = 0
     occ_update_interval: int = 16       # nerfacc update_every_n_steps default
     occ_warmup_steps: int = 256
     occ_thre: float = 1e-2

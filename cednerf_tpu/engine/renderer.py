@@ -147,7 +147,7 @@ def pack_candidates(cand: RayCandidates, s_cap: int):
                         stable=True)[:, :s_cap]
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)
     packed = RayCandidates(t_starts=take(cand.t_starts), dts=take(cand.dts),
-                           valid=take(cand.valid))
+                           valid=take(cand.valid), covered=cand.covered)
     fits = jnp.sum(cand.valid, axis=-1) <= s_cap
     return packed, fits
 
@@ -266,11 +266,13 @@ def render_rays_budget(
         "t_starts": t_starts,
         "t_ends": t_ends,
         # rays whose valid samples all survived the budget (loss mask);
-        # ray_complete ANDs in upstream truncation (pack_candidates)
+        # ray_complete ANDs in upstream truncation (pack_candidates) and
+        # cand.covered ANDs in lattice-span truncation (empty-space skip)
         "complete": (
             jnp.logical_not(
                 jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
             & (True if ray_complete is None else ray_complete)
+            & (True if cand.covered is None else cand.covered)
         ).astype(jnp.float32),
         # untruncated demand, for the host's ray-count feedback
         "n_valid": jnp.sum(cand.valid),
@@ -372,6 +374,7 @@ def pack_budget_samples(
     complete = (
         jnp.logical_not(jnp.any(cand.valid & jnp.logical_not(kept), axis=-1))
         & (True if ray_complete is None else ray_complete)
+        & (True if cand.covered is None else cand.covered)
     )
     return PackedSamples(
         pos=pos, dirs=d, ts=ts, t_starts=t0s_p, dts=dts_p, valid=sel_valid,

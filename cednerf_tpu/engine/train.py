@@ -99,7 +99,8 @@ def occ_mean_value(occ: OccGridState):
 
 
 def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
-                   s_cap: int = 0, use_seg: bool = False):
+                   s_cap: int = 0, use_seg: bool = False,
+                   steady_march: bool = False):
     """The shared un-jitted train step: march + budgeted render + losses + Adam.
 
     batch: dict with origins [R,3], viewdirs [R,3], pixels [R,3],
@@ -123,6 +124,13 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
     # complete=1) — gate seg marching to uniform-step configs
     use_seg = bool(use_seg and cfg.march_seg and cfg.packed_render
                    and cfg.grid_nlvl == 1 and cfg.cone_angle == 0.0)
+    # empty-space skipping: steady-state-only (the warmup grid is all-ones,
+    # so every ray's "occupied" span is the full AABB traversal and the
+    # shrunken lattice would mask everything); uniform steps only
+    skip_empty = bool(steady_march and cfg.steady_march_steps
+                      and cfg.steady_march_steps < cfg.max_march_steps
+                      and cfg.cone_angle == 0.0 and not use_seg)
+    march_steps = cfg.steady_march_steps if skip_empty else cfg.max_march_steps
 
     def one_step(state: TrainState, batch, key):
         k_march, = jax.random.split(key, 1)
@@ -155,8 +163,9 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 far_plane=cfg.far_plane,
                 render_step_size=cfg.render_step_size,
                 cone_angle=cfg.cone_angle,
-                max_march_steps=cfg.max_march_steps,
+                max_march_steps=march_steps,
                 stratified_key=k_march,
+                probe_steps=cfg.max_march_steps if skip_empty else 0,
             )
             n_valid_full = jnp.sum(cand.valid)
             if s_cap and s_cap < cfg.max_march_steps:
@@ -337,6 +346,7 @@ def make_train_loop(field, cfg: SceneConfig, flags: ModelFlags,
         field, cfg, flags, budget or cfg.sample_budget, tx,
         s_cap=0 if warmup_phase else cfg.steady_s_cap,
         use_seg=not warmup_phase,
+        steady_march=not warmup_phase,
     )
 
     # donate the state: params + Adam moments (~300 MB at real table sizes)

@@ -24,7 +24,7 @@ masks them by occupancy, and compacts the valid ones to the front of a padded
 occupancy update included — compiles into one XLA program.
 """
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -329,6 +329,10 @@ class RayCandidates(NamedTuple):
     t_starts: jnp.ndarray
     dts: jnp.ndarray
     valid: jnp.ndarray  # bool
+    # [n_rays] bool, True when the lattice covered the ray's whole
+    # possibly-occupied span — False means far samples were truncated and
+    # the ray must be loss-masked (None = assume covered, legacy callers)
+    covered: Optional[jnp.ndarray] = None
 
     @property
     def t_ends(self):
@@ -374,6 +378,60 @@ def march_t_lattice(
     return t0, dt, t_max
 
 
+def advance_t_min(
+    state: OccGridState,
+    origins,
+    viewdirs,
+    t_min,
+    t_max,
+    *,
+    render_step_size: float,
+    march_steps: int,
+    probe_steps: int,
+    skip_seg: int = 8,
+    pool: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Advance each ray's lattice start past leading empty space.
+
+    Probes a coarse [R, probe_steps/skip_seg] segment lattice spanning the
+    full AABB traversal against `pooled_binaries` (a conservative superset
+    — a False probe proves every fine sample in the segment is unoccupied),
+    then returns:
+
+      t_min_adv [R]: t_min advanced by whole skip_seg*step quanta to the
+        first possibly-occupied segment — so a `march_steps`-slot lattice
+        built from it lands on EXACTLY the original lattice's sample
+        positions, minus leading slots that were invalid anyway;
+      covered [R] bool: True when every possibly-occupied segment fits
+        within march_steps slots of the advanced start. Rays with longer
+        occupied spans must be loss-masked by the caller (same contract as
+        budget overflow) — they render from a truncated lattice.
+
+    Uniform steps only (cone growth changes dt with absolute t, so a far
+    segment's span can exceed the pooled grid's dilated reach and the
+    superset argument breaks — same gate as march_segments).
+    """
+    step = render_step_size
+    ms = -(-probe_steps // skip_seg)
+    seg_len = skip_seg * step
+    coarse = pooled_binaries(state, pool=pool, dilate=1)
+    s = jnp.arange(ms, dtype=jnp.float32)
+    t_lo = t_min[:, None] + s[None, :] * seg_len                  # [R, Ms]
+    t_hi = jnp.maximum(jnp.minimum(t_lo + seg_len, t_max[:, None]), t_lo)
+    tm = 0.5 * (t_lo + t_hi)
+    pos = origins[:, None, :] + viewdirs[:, None, :] * tm[..., None]
+    occ_seg = (t_lo < t_max[:, None]) & coarse_lookup(state, coarse, pos)
+    any_occ = jnp.any(occ_seg, axis=-1)
+    first = jnp.argmax(occ_seg, axis=-1).astype(jnp.int32)
+    last = (ms - 1) - jnp.argmax(occ_seg[:, ::-1], axis=-1).astype(jnp.int32)
+    t_min_adv = jnp.where(
+        any_occ, t_min + first.astype(jnp.float32) * seg_len, t_max)
+    covered = jnp.logical_or(
+        jnp.logical_not(any_occ),
+        (last + 1 - first) * skip_seg <= march_steps)
+    return t_min_adv, covered
+
+
 def march_candidates(
     state: OccGridState,
     origins,
@@ -385,6 +443,8 @@ def march_candidates(
     cone_angle: float = 0.0,
     max_march_steps: int = 1024,
     stratified_key=None,
+    probe_steps: int = 0,
+    skip_seg: int = 8,
 ) -> RayCandidates:
     """Evaluate all marching candidates: uniform steps with cone-angle growth,
     masked by occupancy of the finest containing grid level.
@@ -393,16 +453,46 @@ def march_candidates(
     with a fixed-shape [n_rays, max_march_steps] candidate lattice; no
     compaction happens here (that's a consumer decision — per-ray for eval,
     cross-ray budgeted for training).
+
+    probe_steps > 0 (uniform steps only) enables empty-space skipping: the
+    per-ray lattice start advances past leading unoccupied space (tested on
+    the pooled coarse grid over a probe_steps-slot span, see advance_t_min),
+    so `max_march_steps` can be much smaller than the full-traversal slot
+    count. Sample positions are identical to the full lattice's — the
+    advance is a whole number of steps — and `covered` flags the rays whose
+    occupied span still exceeded the shrunken lattice (callers loss-mask
+    them, like budget overflow). Every steady-state lattice-proportional
+    cost (occupancy gathers, compaction cumsum/scatter, position math)
+    shrinks by probe_steps/max_march_steps.
     """
-    t0, dt, t_max = march_t_lattice(
-        state, origins, viewdirs, near_plane=near_plane, far_plane=far_plane,
-        render_step_size=render_step_size, cone_angle=cone_angle,
-        max_march_steps=max_march_steps, stratified_key=stratified_key,
-    )
+    covered = None
+    if probe_steps > max_march_steps and cone_angle == 0.0:
+        t_min0, t_max = ray_aabb_intersect(origins, viewdirs, state.aabbs[-1])
+        t_min0 = jnp.maximum(t_min0, near_plane)
+        t_max = jnp.minimum(t_max, far_plane)
+        if stratified_key is not None:
+            t_min0 = t_min0 + jax.random.uniform(
+                stratified_key, (origins.shape[0],)) * render_step_size
+        t_min, covered = advance_t_min(
+            state, origins, viewdirs, t_min0, t_max,
+            render_step_size=render_step_size,
+            march_steps=max_march_steps, probe_steps=probe_steps,
+            skip_seg=skip_seg,
+        )
+        steps = jnp.arange(max_march_steps, dtype=jnp.float32)
+        t0 = t_min[:, None] + steps[None, :] * render_step_size
+        dt = jnp.full_like(t0, render_step_size)
+    else:
+        t0, dt, t_max = march_t_lattice(
+            state, origins, viewdirs, near_plane=near_plane,
+            far_plane=far_plane, render_step_size=render_step_size,
+            cone_angle=cone_angle, max_march_steps=max_march_steps,
+            stratified_key=stratified_key,
+        )
     t_mid = t0 + dt / 2.0
     pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]
     valid = (t0 < t_max[:, None]) & occupancy_lookup(state, pos)
-    return RayCandidates(t_starts=t0, dts=dt, valid=valid)
+    return RayCandidates(t_starts=t0, dts=dt, valid=valid, covered=covered)
 
 
 def march_rays(

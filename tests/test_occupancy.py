@@ -154,3 +154,56 @@ def test_mark_invisible_cells():
                              jax.random.PRNGKey(0), all_cells=True)
     bin_flat = np.asarray(state3.binaries).reshape(-1)
     assert not bin_flat[occs[0] == -1].any()
+
+
+def test_march_candidates_skip_empty_parity():
+    """probe_steps>0 lattice == full lattice's valid samples, when covered.
+
+    Empty-space skipping advances each ray's lattice start by whole
+    skip_seg*step quanta past provably-empty segments, so the valid sample
+    t-positions must match the full lattice's (modulo one f32 rounding)."""
+    from cednerf_tpu.ops.occupancy import march_candidates
+
+    state = create_occ_grid([-1, -1, -1, 1, 1, 1], resolution=32, levels=1)
+    state = update_occ_grid(state, _density_ball, jax.random.PRNGKey(0),
+                            all_cells=True)
+    rng = np.random.default_rng(3)
+    o = np.zeros((16, 3), np.float32)
+    o[:, 2] = -3.0
+    o[:, 0] = rng.uniform(-0.3, 0.3, 16)
+    d = rng.normal(0, 0.04, (16, 3)).astype(np.float32)
+    d[:, 2] += 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    kw = dict(near_plane=0.0, far_plane=1e10, render_step_size=5e-3)
+    full = march_candidates(state, jnp.asarray(o), jnp.asarray(d),
+                            max_march_steps=1024, **kw)
+    skip = march_candidates(state, jnp.asarray(o), jnp.asarray(d),
+                            max_march_steps=384, probe_steps=1024, **kw)
+    assert full.covered is None and skip.covered is not None
+    # ball span ~1.0 = 200 steps, plus the conservative pooled+dilated
+    # probe slack (~2 coarse cells = 0.5 units = 100 steps) < 384
+    assert bool(jnp.all(skip.covered))
+    for r in range(16):
+        tf = np.asarray(full.t_starts[r])[np.asarray(full.valid[r])]
+        ts = np.asarray(skip.t_starts[r])[np.asarray(skip.valid[r])]
+        assert len(tf) > 0 and len(tf) == len(ts), (r, len(tf), len(ts))
+        np.testing.assert_allclose(ts, tf, atol=1e-5)
+
+
+def test_march_candidates_skip_flags_uncovered():
+    """A ray whose occupied span exceeds the shrunken lattice -> covered=0."""
+    from cednerf_tpu.ops.occupancy import march_candidates
+
+    state = create_occ_grid([-1, -1, -1, 1, 1, 1], resolution=32, levels=1)
+    # occupy everything: span = full AABB traversal (2.0 / 5e-3 = 400 steps)
+    state = state._replace(binaries=jnp.ones_like(state.binaries))
+    o = jnp.asarray([[0.0, 0.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    kw = dict(near_plane=0.0, far_plane=1e10, render_step_size=5e-3)
+    skip = march_candidates(state, o, d, max_march_steps=128,
+                            probe_steps=1024, **kw)
+    assert not bool(skip.covered[0])
+    # and a miss ray is covered (nothing to sample)
+    skip2 = march_candidates(state, jnp.asarray([[5.0, 5.0, -3.0]]), d,
+                             max_march_steps=128, probe_steps=1024, **kw)
+    assert bool(skip2.covered[0]) and not bool(skip2.valid.any())

@@ -51,6 +51,9 @@ def main():
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--remat_feats", action="store_true")
+    ap.add_argument("--steady_march", type=int, default=0,
+                    help="steady_march_steps (empty-space-skipping lattice; "
+                         "0 = full max_march_steps)")
     ap.add_argument("--mini", action="store_true",
                     help="CPU-feasible shrink (wh 64, budget 16k, march 256, "
                          "table rows 2048/log2 16): preliminary A/B deltas "
@@ -108,6 +111,8 @@ def main():
         cfg = dataclasses.replace(cfg, march_seg=args.march_seg)
     if args.remat_feats:
         cfg = dataclasses.replace(cfg, remat_feats=True)
+    if args.steady_march:
+        cfg = dataclasses.replace(cfg, steady_march_steps=args.steady_march)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
