@@ -142,4 +142,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         max_table_rows=cfg.max_table_rows,
         fine_table_rows=cfg.fine_table_rows,
         remat_feats=cfg.remat_feats,
+        row_layout=cfg.row_layout,
     )

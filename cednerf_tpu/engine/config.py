@@ -86,6 +86,11 @@ class SceneConfig:
     # re-gather per level for ~4 GB residual HBM per 1M budget samples —
     # enable at target_sample_batch_size >= 2M
     remat_feats: bool = False
+    # hashed-level hot-row layout: "brick" (64-corner rows) or "cell"
+    # (per-cell 8-corner rows, 8x narrower per-sample lane math/gather/
+    # scatter at one extra table-sized MXU expansion per level per step;
+    # ops/brick_grid.py row_layout)
+    row_layout: str = "brick"
     # budget-compaction impl: "xla" (cumsum + unique-index scatter) or
     # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
     # bit-compatible, single-block only — falls back otherwise)

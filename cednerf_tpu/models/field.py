@@ -109,6 +109,7 @@ class HashGridEncoder(nn.Module):
                 max_table_rows=self.spec.max_table_rows,
                 fine_table_rows=self.spec.fine_table_rows,
                 remat_feats=self.spec.remat_feats,
+                row_layout=self.spec.row_layout,
             )
             params = {
                 name: self.param(
@@ -215,6 +216,7 @@ class DNGPRadianceField(nn.Module):
     max_table_rows: int = 16384  # brick-impl per-level table cap (rows)
     fine_table_rows: int = 0  # brick-impl fine-level row override
     remat_feats: bool = False  # brick-impl: re-gather rows in the backward
+    row_layout: str = "brick"  # brick-impl hashed-level hot-row layout
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -231,6 +233,7 @@ class DNGPRadianceField(nn.Module):
             max_table_rows=self.max_table_rows,
             fine_table_rows=self.fine_table_rows,
             remat_feats=self.remat_feats,
+            row_layout=self.row_layout,
         )
 
     @property

@@ -111,6 +111,14 @@ class BrickGridSpec:
     # row gather per level (~0.5 ms marginal each on v5e; two for the 4D
     # keyframe path, whose saved lo/hi rows are 2x the 3D footprint).
     remat_feats: bool = False
+    # Hot-row layout for HASHED 3D levels: "brick" gathers the whole
+    # 64-corner brick row per sample; "cell" re-materializes the table per
+    # step as one row per (brick, cell) with just that cell's 8 corners
+    # ([rows*27, 8F], one MXU expansion matmul), so every per-sample
+    # gather/scatter/lane-math op runs at 8F lanes instead of 64F (same
+    # math — the other 56 lanes carry zero weight). Dense levels and the
+    # 4D keyframe path keep the brick layout.
+    row_layout: str = "brick"
 
     @property
     def log_b(self) -> float:
@@ -282,19 +290,19 @@ def _corner_weights(intra, frac, dtype, n_features: int = 1):
     return (wa[0] * wa[1]) * wa[2]
 
 
-def _feature_selector(n_features: int, dtype):
-    """Static [64*F, F] 0/1 matrix: row c*F+f -> column f.
+def _feature_selector(n_features: int, dtype, n_corners: int = CORNERS_PER_BRICK):
+    """Static [C*F, F] 0/1 matrix: row c*F+f -> column f.
 
-    (g * w_row) @ selector sums each feature's 64 weighted corners with one
+    (g * w_row) @ selector sums each feature's C weighted corners with one
     skinny MXU matmul — the TPU-friendly form of the per-sample interpolation
     reduce (batched-matvec einsums lower poorly)."""
-    rows = np.arange(CORNERS_PER_BRICK * n_features)
+    rows = np.arange(n_corners * n_features)
     sel = (rows[:, None] % n_features == np.arange(n_features)[None, :])
     return jnp.asarray(sel.astype(np.float32), dtype)
 
 
-def _expand_feat_lanes(g, n_features: int):
-    """Replicate per-feature values across corner lanes: [N, F] -> [N, 64F].
+def _expand_feat_lanes(g, n_features: int, n_corners: int = CORNERS_PER_BRICK):
+    """Replicate per-feature values across corner lanes: [N, F] -> [N, C*F].
 
     out[:, c*F + f] = g[:, f], built by compare-select against the constant
     lane->feature index — pure 2-D elementwise ops at full row width that
@@ -302,9 +310,9 @@ def _expand_feat_lanes(g, n_features: int):
     materializes the result in a {0,1} layout and pays a physical {1,0}
     transpose copy (~1.6 ms per instance at 1M samples on v5e)."""
     if n_features == 1:
-        return jnp.broadcast_to(g, (g.shape[0], CORNERS_PER_BRICK))
+        return jnp.broadcast_to(g, (g.shape[0], n_corners))
     lane_feat = jnp.asarray(
-        np.arange(CORNERS_PER_BRICK * n_features) % n_features, jnp.int32
+        np.arange(n_corners * n_features) % n_features, jnp.int32
     )[None, :]
     out = jnp.broadcast_to(g[:, 0:1], (g.shape[0], lane_feat.shape[1]))
     for f in range(1, n_features):
@@ -609,6 +617,151 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
                  contract(wx, wy, dwz)], axis=-1)
         d_x = d_frac * jnp.float32(scale) * ok
         return d_table.astype(jnp.dtype(table_dtype_name)), d_x.astype(x.dtype)
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
+# --------------------------------------------------------------------- #
+# Cell-row layout: the brick stores 4^3 corners covering 3^3 cells, so a
+# sample's interpolation touches only 8 of a gathered row's 64 corners —
+# 7/8 of every [N, 64F] gather/scatter/lane-math pass is dead lanes. The
+# cell layout re-materializes each level's table per step as one row per
+# (brick, cell) holding just that cell's 8 corners ([rows*27, 8F], built
+# by a single ~29 GFLOP MXU expansion matmul from the canonical brick
+# table — table-sized, not sample-sized), so every per-sample op runs at
+# 8F lanes instead of 64F. The backward folds the per-cell table gradient
+# back onto shared corners through the expansion matmul's autodiff
+# (exact: corners shared by adjacent cells sum their contributions).
+# Same math as the reference's per-corner NGP loop
+# (hash_encoder_half.py:137-160) with the hashing still at brick
+# granularity; hashed 3D levels only (dense levels keep the brick layout
+# + the one-hot tiny-table grad path).
+# --------------------------------------------------------------------- #
+
+CELLS_PER_BRICK = BRICK_CELLS ** 3   # 27
+CELL_CORNERS = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _cell_expand_matrix(n_features: int):
+    """Static [64F, 27*8F] 0/1: brick corner lanes -> per-cell corner lanes.
+
+    Brick lane = (X*16 + Y*4 + Z)*F + f; cell lane = (cell*8 + d)*F + f
+    with cell = (cx*3+cy)*3+cz, d = dx*4+dy*2+dz, (X,Y,Z) = (cx,cy,cz) +
+    (dx,dy,dz)."""
+    F = n_features
+    e = np.zeros((CORNERS_PER_BRICK * F, CELLS_PER_BRICK * CELL_CORNERS * F),
+                 np.float32)
+    for cx in range(BRICK_CELLS):
+        for cy in range(BRICK_CELLS):
+            for cz in range(BRICK_CELLS):
+                cell = (cx * BRICK_CELLS + cy) * BRICK_CELLS + cz
+                for dx in range(2):
+                    for dy in range(2):
+                        for dz in range(2):
+                            d = dx * 4 + dy * 2 + dz
+                            corner = ((cx + dx) * BRICK_CORNERS + (cy + dy)) \
+                                * BRICK_CORNERS + (cz + dz)
+                            for f in range(F):
+                                e[corner * F + f,
+                                  (cell * CELL_CORNERS + d) * F + f] = 1.0
+    return e
+
+
+def _expand_cell_table(table, n_features: int):
+    """[rows, 64F] brick table -> [rows*27, 8F] per-cell table (one MXU dot).
+
+    Differentiable: the transpose matmul in the backward sums each corner's
+    gradient contributions from every cell row that replicated it."""
+    e = jnp.asarray(_cell_expand_matrix(n_features), table.dtype)
+    rows = table.shape[0]
+    out = jnp.dot(table, e, preferred_element_type=jnp.float32)
+    return out.astype(table.dtype).reshape(
+        rows * CELLS_PER_BRICK, CELL_CORNERS * n_features)
+
+
+def _cell_axis_bit(axis: int, n_features: int):
+    """Constant [8F] int: per lane, its corner's 0/1 offset along `axis`."""
+    lane = np.arange(CELL_CORNERS * n_features)
+    d = lane // n_features
+    bit = (d >> (2 - axis)) & 1
+    return jnp.asarray(bit, jnp.int32)
+
+
+def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
+                            n_feat: int, dtype_name: str,
+                            table_dtype_name: str = "float32",
+                            accum_dtype_name: str = "float32",
+                            scatter_impl: str = "xla",
+                            remat_feats: bool = False):
+    """Analytic custom-VJP cell-row level encode: (cell_table, x) -> [N, F].
+
+    cell_table: [n_rows*27, 8F] from _expand_cell_table. Gathers ONE 8F-lane
+    row per sample and runs all interpolation/backward lane math at 8F
+    width. Math parity: identical corner weights/gradients to
+    _make_level_encode (the 56 dead brick lanes there carry zero weight);
+    the table gradient lands on the per-cell rows and is folded to brick
+    corners by the expansion matmul's autodiff."""
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CELL_CORNERS * F
+    bits = [_cell_axis_bit(a, F)[None, :] for a in range(3)]
+
+    def axis_w(frac, a):
+        fa = frac[:, a][:, None].astype(cdtype)
+        return jnp.where(bits[a] == 1, fa, 1.0 - fa)
+
+    def crow_of(rows, intra):
+        return rows * CELLS_PER_BRICK + (
+            (intra[:, 0] * BRICK_CELLS + intra[:, 1]) * BRICK_CELLS
+            + intra[:, 2])
+
+    def fwd_impl(cell, x):
+        rows, intra, frac, _ = _level_geom(x, scale, nb, hashed, n_rows)
+        crow = crow_of(rows, intra)
+        feats = jnp.take(cell.astype(cdtype), crow, axis=0)
+        w = (axis_w(frac, 0) * axis_w(frac, 1)) * axis_w(frac, 2)
+        sel = _feature_selector(F, cdtype, CELL_CORNERS)
+        out = jnp.dot(feats * w, sel, preferred_element_type=jnp.float32)
+        return out.astype(cdtype), feats
+
+    @jax.custom_vjp
+    def enc(cell, x):
+        return fwd_impl(cell, x)[0]
+
+    def fwd(cell, x):
+        if remat_feats:
+            return fwd_impl(cell, x)[0], (x, cell)
+        out, feats = fwd_impl(cell, x)
+        return out, (x, feats)
+
+    def bwd(res, g):
+        x, tf = res
+        rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        crow = crow_of(rows, intra)
+        if remat_feats:
+            feats = jnp.take(tf.astype(cdtype), crow, axis=0)
+        else:
+            feats = tf
+        wx, wy, wz = (axis_w(frac, a) for a in range(3))
+        gout = _expand_feat_lanes(g.astype(cdtype), F, CELL_CORNERS)
+        upd = ((wx * wy) * wz) * gout
+        adt = jnp.dtype(accum_dtype_name)
+        d_cell = _scatter_rows(crow, upd, n_rows * CELLS_PER_BRICK, adt,
+                               scatter_impl)
+        # position gradient: dw/dfrac_a swaps that axis's factor for +-1
+        h = feats * gout
+        sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
+                         -jnp.ones((), cdtype)) for a in range(3)]
+        d_frac = jnp.stack([
+            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
+        ], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        return (d_cell.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype))
 
     enc.defvjp(fwd, bwd)
     return enc
@@ -1029,6 +1182,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     layouts = spec.level_layout()
 
     if (use_custom_vjp and spec.interp_impl == "pallas"
+            and spec.row_layout != "cell"
             and _pallas_route_ok(spec, n, layouts)):
         tables = tuple(
             params[f"bricks_{lvl}"] if lay["hashed"]
@@ -1055,6 +1209,16 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     for lvl, lay in enumerate(layouts):
         scale = level_scale(lvl, spec.log_b, spec.base_res)
         if not spec.time_keyframes:
+            if (lay["hashed"] and use_custom_vjp
+                    and spec.row_layout == "cell"):
+                cell = _expand_cell_table(params[f"bricks_{lvl}"], f)
+                enc = _make_level_encode_cell(
+                    float(scale), lay["n_bricks_axis"], True, lay["rows"],
+                    f, jnp.dtype(compute_dtype).name, cell.dtype.name,
+                    spec.grad_accum_dtype, spec.scatter_impl,
+                    spec.remat_feats)
+                outs.append(enc(cell, x))
+                continue
             if lay["hashed"]:
                 table = params[f"bricks_{lvl}"]
             else:

@@ -78,6 +78,8 @@ class HashGridSpec:
     # brick-impl: re-gather rows in the backward instead of saving [N, 64F]
     # residuals per level (see BrickGridSpec.remat_feats)
     remat_feats: bool = False
+    # brick-impl hashed-level hot-row layout (see BrickGridSpec.row_layout)
+    row_layout: str = "brick"
 
     @property
     def log_b(self) -> float:

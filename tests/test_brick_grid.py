@@ -357,3 +357,46 @@ def test_scatter_rows_onehot_xla_matches_scatter():
     small = _scatter_rows(rows[:128], upd[:128], n_rows, jnp.float32, "xla")
     ref_s = jnp.zeros((n_rows, w), jnp.float32).at[rows[:128]].add(upd[:128])
     np.testing.assert_array_equal(np.asarray(small), np.asarray(ref_s))
+
+
+def test_cell_row_layout_matches_brick():
+    """row_layout='cell' == 'brick': outputs, table grads, position grads.
+
+    The cell layout gathers one 8-corner row per sample from the expanded
+    [rows*27, 8F] table instead of a 64-corner brick row; the other 56
+    brick lanes carry zero interpolation weight, so outputs and all
+    gradients must match (f32, modulo summation order)."""
+    import dataclasses
+
+    spec_b = BrickGridSpec(n_levels=5, n_features=8, base_res=8, max_res=256,
+                           log2_hashmap_size=12, max_table_rows=512)
+    spec_c = dataclasses.replace(spec_b, row_layout="cell")
+    lays = spec_b.level_layout()
+    assert any(l["hashed"] for l in lays), "need hashed levels for the A/B"
+
+    rng = np.random.default_rng(0)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_b.param_shapes()
+    }
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (256, spec_b.output_dim)), jnp.float32)
+
+    def run(spec):
+        def loss(p, xx):
+            out = brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(out * cot)
+
+        out = brick_encode(x, params, spec, compute_dtype=jnp.float32)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        return out, gp, gx
+
+    out_b, gp_b, gx_b = run(spec_b)
+    out_c, gp_c, gx_c = run(spec_c)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-5)
+    for k in gp_b:
+        np.testing.assert_allclose(np.asarray(gp_c[k]), np.asarray(gp_b[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
