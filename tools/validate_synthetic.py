@@ -51,6 +51,7 @@ def main():
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--remat_feats", action="store_true")
+    ap.add_argument("--row_layout", default=None, choices=("brick", "cell"))
     ap.add_argument("--steady_march", type=int, default=0,
                     help="steady_march_steps (empty-space-skipping lattice; "
                          "0 = full max_march_steps)")
@@ -113,6 +114,8 @@ def main():
         cfg = dataclasses.replace(cfg, remat_feats=True)
     if args.steady_march:
         cfg = dataclasses.replace(cfg, steady_march_steps=args.steady_march)
+    if args.row_layout:
+        cfg = dataclasses.replace(cfg, row_layout=args.row_layout)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
