@@ -1211,7 +1211,12 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
         if not spec.time_keyframes:
             if (lay["hashed"] and use_custom_vjp
                     and spec.row_layout == "cell"):
-                cell = _expand_cell_table(params[f"bricks_{lvl}"], f)
+                # expand in compute dtype: the gathered rows are cast there
+                # anyway, and a bf16 expansion matmul runs at full MXU rate
+                # (the fold back to the f32 master runs through astype's
+                # autodiff, accumulating in f32)
+                cell = _expand_cell_table(
+                    params[f"bricks_{lvl}"].astype(compute_dtype), f)
                 enc = _make_level_encode_cell(
                     float(scale), lay["n_bricks_axis"], True, lay["rows"],
                     f, jnp.dtype(compute_dtype).name, cell.dtype.name,
