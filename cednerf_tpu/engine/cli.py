@@ -74,6 +74,15 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="re-gather encoder rows in the backward instead "
                              "of saving [N, 64F] residuals (use at sample "
                              "budgets >= 2M; ops/brick_grid.py)")
+    parser.add_argument("--row_layout", type=str, default=None,
+                        choices=["brick", "cell"],
+                        help="hashed-level hot-row layout: 'cell' runs "
+                             "per-sample encoder ops at 8F lanes instead of "
+                             "64F (ops/brick_grid.py row_layout)")
+    parser.add_argument("--steady_march_steps", type=int, default=None,
+                        help="empty-space-skipping steady-state lattice "
+                             "slots (0 = full max_march_steps; "
+                             "engine/config.py steady_march_steps)")
     return parser
 
 
@@ -95,6 +104,10 @@ def apply_perf_overrides(cfg, args):
         upd["fine_table_rows"] = args.fine_table_rows
     if getattr(args, "remat_feats", False):
         upd["remat_feats"] = True
+    if getattr(args, "row_layout", None):
+        upd["row_layout"] = args.row_layout
+    if getattr(args, "steady_march_steps", None) is not None:
+        upd["steady_march_steps"] = args.steady_march_steps
     return dataclasses.replace(cfg, **upd) if upd else cfg
 
 
