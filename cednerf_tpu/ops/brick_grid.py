@@ -767,6 +767,115 @@ def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
     return enc
 
 
+def _make_level_encode_cell_4d(scale: float, nb: int, hashed: bool,
+                               n_rows: int, n_feat: int, keyframes: int,
+                               dtype_name: str,
+                               table_dtype_name: str = "float32",
+                               accum_dtype_name: str = "float32",
+                               scatter_impl: str = "xla",
+                               remat_feats: bool = False):
+    """Cell-row variant of _make_level_encode_4d: (cell4, x, t) -> [N, F].
+
+    cell4: [(n_rows*K)*27, 8F] from _expand_cell_table of the flat
+    keyframe-interleaved table — cell row index = (row*K + k)*27 + cell,
+    so the upper keyframe sits exactly 27 rows above the lower. Two 8F-lane
+    gathers + keyframe lerp + the 8F-lane interpolation; backward mirrors
+    the 3D cell path plus the (1-t_frac)/t_frac cotangent split
+    (hash_encoder_inter.py:202-276) and the analytic d_t."""
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CELL_CORNERS * F
+    K = keyframes
+    bits = [_cell_axis_bit(a, F)[None, :] for a in range(3)]
+
+    def axis_w(frac, a):
+        fa = frac[:, a][:, None].astype(cdtype)
+        return jnp.where(bits[a] == 1, fa, 1.0 - fa)
+
+    def crow_lo_of(rows, intra, idx_lo):
+        cell = (intra[:, 0] * BRICK_CELLS + intra[:, 1]) * BRICK_CELLS \
+            + intra[:, 2]
+        return (rows * K + idx_lo) * CELLS_PER_BRICK + cell
+
+    def time_geom(t):
+        t_scaled = t.reshape(-1) * (K - 1)
+        idx_lo = jnp.clip(jnp.floor(t_scaled), 0, K - 2).astype(jnp.int32)
+        t_frac = (t_scaled - idx_lo.astype(t_scaled.dtype)).astype(jnp.float32)
+        return idx_lo, t_frac
+
+    def fwd_impl(cell4, x, t):
+        rows, intra, frac, _ = _level_geom(x, scale, nb, hashed, n_rows)
+        idx_lo, t_frac = time_geom(t)
+        crow = crow_lo_of(rows, intra, idx_lo)
+        c = cell4.astype(cdtype)
+        lo = jnp.take(c, crow, axis=0)
+        hi = jnp.take(c, crow + CELLS_PER_BRICK, axis=0)
+        tfc = t_frac[:, None].astype(cdtype)
+        feats = lo * (1.0 - tfc) + hi * tfc
+        w = (axis_w(frac, 0) * axis_w(frac, 1)) * axis_w(frac, 2)
+        sel = _feature_selector(F, cdtype, CELL_CORNERS)
+        out = jnp.dot(feats * w, sel, preferred_element_type=jnp.float32)
+        return out.astype(cdtype), lo, hi
+
+    @jax.custom_vjp
+    def enc(cell4, x, t):
+        return fwd_impl(cell4, x, t)[0]
+
+    def fwd(cell4, x, t):
+        if remat_feats:
+            return fwd_impl(cell4, x, t)[0], (x, t, cell4)
+        out, lo, hi = fwd_impl(cell4, x, t)
+        return out, (x, t, lo, hi)
+
+    def bwd(res, g):
+        x, t, *tf = res
+        rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        idx_lo, t_frac = time_geom(t)
+        crow = crow_lo_of(rows, intra, idx_lo)
+        if remat_feats:
+            c = tf[0].astype(cdtype)
+            lo = jnp.take(c, crow, axis=0)
+            hi = jnp.take(c, crow + CELLS_PER_BRICK, axis=0)
+        else:
+            lo, hi = tf
+        wx, wy, wz = (axis_w(frac, a) for a in range(3))
+        w = (wx * wy) * wz
+        gout = _expand_feat_lanes(g.astype(cdtype), F, CELL_CORNERS)
+        upd = w * gout
+        tfc = t_frac[:, None]
+        adt = jnp.dtype(accum_dtype_name)
+        total = n_rows * K * CELLS_PER_BRICK
+        if scatter_impl == "xla":
+            d_cell = (
+                jnp.zeros((total, W), adt)
+                .at[crow].add((upd * (1.0 - tfc)).astype(adt))
+                .at[crow + CELLS_PER_BRICK].add((upd * tfc).astype(adt))
+            )
+        else:
+            d_cell = _scatter_rows(
+                jnp.concatenate([crow, crow + CELLS_PER_BRICK]),
+                jnp.concatenate([upd * (1.0 - tfc), upd * tfc]),
+                total, adt, scatter_impl)
+        tfc_c = tfc.astype(cdtype)
+        feats = lo * (1.0 - tfc_c) + hi * tfc_c
+        h = feats * gout
+        sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
+                         -jnp.ones((), cdtype)) for a in range(3)]
+        d_frac = jnp.stack([
+            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
+        ], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        d_tf = jnp.sum(((hi - lo) * gout * w).astype(jnp.float32), axis=-1)
+        d_t = (d_tf * jnp.float32(K - 1)).reshape(t.shape).astype(t.dtype)
+        return (d_cell.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype), d_t)
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
 # --------------------------------------------------------------------- #
 # Fused multi-level path: one concatenated table, one [N, L]-row gather,
 # batched interpolation + backward over a level axis. The per-level path
@@ -1264,6 +1373,15 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 .reshape(nb3, k * spec.row_width)
             )
         flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
+        if use_custom_vjp and spec.row_layout == "cell":
+            cell4 = _expand_cell_table(flat.astype(compute_dtype), f)
+            enc = _make_level_encode_cell_4d(
+                float(scale), lay["n_bricks_axis"], lay["hashed"],
+                lay["rows"], f, k, jnp.dtype(compute_dtype).name,
+                cell4.dtype.name, spec.grad_accum_dtype, spec.scatter_impl,
+                spec.remat_feats)
+            outs.append(enc(cell4, x, t))
+            continue
         if use_custom_vjp:
             enc = _make_level_encode_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],

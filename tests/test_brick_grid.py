@@ -400,3 +400,42 @@ def test_cell_row_layout_matches_brick():
     for k in gp_b:
         np.testing.assert_allclose(np.asarray(gp_c[k]), np.asarray(gp_b[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_cell_row_layout_matches_brick_4d():
+    """4D keyframe path: row_layout='cell' == 'brick' (out + all grads)."""
+    import dataclasses
+
+    spec_b = BrickGridSpec(n_levels=4, n_features=4, base_res=8, max_res=128,
+                           log2_hashmap_size=12, max_table_rows=512,
+                           time_keyframes=4)
+    spec_c = dataclasses.replace(spec_b, row_layout="cell")
+    rng = np.random.default_rng(1)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_b.param_shapes()
+    }
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (128, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.0, 1.0, (128, 1)), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (128, spec_b.output_dim)), jnp.float32)
+
+    def run(spec):
+        def loss(p, xx, tt):
+            out = brick_encode(xx, p, spec, t=tt, compute_dtype=jnp.float32)
+            return jnp.sum(out * cot)
+
+        out = brick_encode(x, params, spec, t=t, compute_dtype=jnp.float32)
+        gp, gx, gt = jax.grad(loss, argnums=(0, 1, 2))(params, x, t)
+        return out, gp, gx, gt
+
+    out_b, gp_b, gx_b, gt_b = run(spec_b)
+    out_c, gp_c, gx_c, gt_c = run(spec_c)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_b),
+                               rtol=1e-4, atol=1e-5)
+    for kk in gp_b:
+        np.testing.assert_allclose(np.asarray(gp_c[kk]), np.asarray(gp_b[kk]),
+                                   rtol=1e-4, atol=1e-5, err_msg=kk)
