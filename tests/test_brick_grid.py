@@ -359,7 +359,11 @@ def test_scatter_rows_onehot_xla_matches_scatter():
     np.testing.assert_array_equal(np.asarray(small), np.asarray(ref_s))
 
 
-def test_cell_row_layout_matches_brick():
+import pytest
+
+
+@pytest.mark.parametrize("n_features", [4, 8])
+def test_cell_row_layout_matches_brick(n_features):
     """row_layout='cell' == 'brick': outputs, table grads, position grads.
 
     The cell layout gathers one 8-corner row per sample from the expanded
@@ -368,7 +372,8 @@ def test_cell_row_layout_matches_brick():
     gradients must match (f32, modulo summation order)."""
     import dataclasses
 
-    spec_b = BrickGridSpec(n_levels=5, n_features=8, base_res=8, max_res=256,
+    spec_b = BrickGridSpec(n_levels=5, n_features=n_features, base_res=8,
+                           max_res=256,
                            log2_hashmap_size=12, max_table_rows=512)
     spec_c = dataclasses.replace(spec_b, row_layout="cell")
     lays = spec_b.level_layout()

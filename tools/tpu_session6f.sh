@@ -23,6 +23,14 @@ runT() {
 
 echo "=== session6f takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 
+# L4F8 measured -1.08 dB train vs L8F4 at 4k on the texture scene — the
+# honest bench default is L8F4 + the quality-neutral knobs (cell layout is
+# parity-exact; sm512 is sample-identical). Measure that combo first.
+runT 2400 bench_cellsm_l8f4_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "steady_march_steps": 512, "row_layout": "cell"}' \
+    python bench.py
+runT 2400 bench_sm512_l8f4_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "steady_march_steps": 512}' \
+    python bench.py
+
 runT 7200 texture_gather_2k python tools/validate_synthetic.py --steps 2000 \
     --scene texture --levels 16 --features 2 --impl gather --log2 21 \
     --out "$OUT/texture_gather_2k"
@@ -38,4 +46,8 @@ runT 1800 texture_l4f8_2k python tools/validate_synthetic.py --steps 2000 \
 runT 1800 texture_cell_2k python tools/validate_synthetic.py --steps 2000 \
     --scene texture --levels 4 --features 8 --impl brick \
     --row_layout cell --out "$OUT/texture_cell_2k"
+# does bigger fine tables close L4F8's texture gap? (capacity hypothesis)
+runT 1800 texture_l4f8ftr_2k python tools/validate_synthetic.py --steps 2000 \
+    --scene texture --levels 4 --features 8 --impl brick \
+    --fine_table_rows 65536 --out "$OUT/texture_l4f8ftr_2k"
 echo "=== session6f done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
