@@ -75,7 +75,7 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "of saving [N, 64F] residuals (use at sample "
                              "budgets >= 2M; ops/brick_grid.py)")
     parser.add_argument("--row_layout", type=str, default=None,
-                        choices=["brick", "cell"],
+                        choices=["brick", "cell", "cellfused"],
                         help="hashed-level hot-row layout: 'cell' runs "
                              "per-sample encoder ops at 8F lanes instead of "
                              "64F (ops/brick_grid.py row_layout)")

@@ -767,6 +767,129 @@ def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
     return enc
 
 
+def _fused_cell_geom(x, scales, nbs, hashed, rows_n, offsets):
+    """Batched per-level CELL-row geometry. x: [N,3]; static per-level tuples.
+
+    Returns (crow [N,L] i32 into the concatenated cell table — row =
+    offset + brick_row*27 + cell_index, frac [N,L,3] f32, ok [N,L,3] f32).
+    Same math as _level_geom + crow_of in _make_level_encode_cell, batched
+    over a level axis so L levels share one gather/scatter downstream."""
+    sc = jnp.asarray(scales, jnp.float32)            # [L]
+    nb = jnp.asarray(nbs, jnp.int32)                 # [L]
+    hm = jnp.asarray(hashed, bool)                   # [L]
+    rn = jnp.asarray(rows_n, jnp.uint32)             # [L]
+    off = jnp.asarray(offsets, jnp.int32)            # [L]
+
+    pos = x.astype(jnp.float32)[:, None, :] * sc[None, :, None] + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid                             # [N,L,3]
+    cell_raw = pos_grid.astype(jnp.int32)
+    hi = (nb * BRICK_CELLS - 1)[None, :, None]
+    cell = jnp.clip(cell_raw, 0, hi)
+    ok = ((cell_raw >= 0) & (cell_raw <= hi)).astype(jnp.float32)
+    brick = cell // BRICK_CELLS
+    intra = cell - brick * BRICK_CELLS
+
+    b = brick.astype(jnp.uint32)
+    h = (
+        b[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ b[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ b[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    hrows = (h % rn[None, :]).astype(jnp.int32)
+    drows = (brick[..., 0] * nb[None, :] + brick[..., 1]) * nb[None, :] \
+        + brick[..., 2]
+    rows = jnp.where(hm[None, :], hrows, drows)
+    cidx = (intra[..., 0] * BRICK_CELLS + intra[..., 1]) * BRICK_CELLS \
+        + intra[..., 2]
+    crow = rows * CELLS_PER_BRICK + cidx + off[None, :]
+    return crow, frac, ok
+
+
+@functools.lru_cache(maxsize=None)
+def _make_cell_fused_encode(scales, nbs, hashed, rows_n, offsets,
+                            total_rows: int, n_feat: int, dtype_name: str,
+                            table_dtype_name: str = "float32",
+                            accum_dtype_name: str = "float32",
+                            scatter_impl: str = "xla",
+                            remat_feats: bool = False):
+    """Analytic custom-VJP LEVEL-FUSED cell encode: (cell [R,8F], x) -> [N,L*F].
+
+    One row gather + ONE table-grad scatter for all L levels (cell-row
+    layout). Why: XLA row gathers/scatters carry a ~2.5-5 ms FIXED cost per
+    op on v5e on top of the per-row marginal cost (ROADMAP measurements), so
+    the per-level cell path pays that fixed cost 2L times per step. The
+    brick-layout fused experiment lost to per-level because 8 MB brick
+    tables stay cache-resident; cell tables are 27x larger, so residency is
+    moot and only the fixed-cost saving remains. Bit-identical math to
+    _make_level_encode_cell per level (gated by tests/test_brick_grid.py).
+    """
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    W = CELL_CORNERS * F
+    L = len(scales)
+    bits = [_cell_axis_bit(a, F)[None, :] for a in range(3)]
+
+    def axis_w(frac2, a):
+        fa = frac2[:, a][:, None].astype(cdtype)      # [N*L, 1]
+        return jnp.where(bits[a] == 1, fa, 1.0 - fa)
+
+    def geom(x):
+        crow, frac, ok = _fused_cell_geom(x, scales, nbs, hashed, rows_n,
+                                          offsets)
+        n = x.shape[0]
+        return crow.reshape(n * L), frac.reshape(n * L, 3), ok
+
+    def fwd_impl(cell, x):
+        n = x.shape[0]
+        crow, frac2, _ = geom(x)
+        feats = jnp.take(cell.astype(cdtype), crow, axis=0)   # [N*L, 8F]
+        w = (axis_w(frac2, 0) * axis_w(frac2, 1)) * axis_w(frac2, 2)
+        sel = _feature_selector(F, cdtype, CELL_CORNERS)
+        out = jnp.dot(feats * w, sel, preferred_element_type=jnp.float32)
+        return out.reshape(n, L * F).astype(cdtype), feats
+
+    @jax.custom_vjp
+    def enc(cell, x):
+        return fwd_impl(cell, x)[0]
+
+    def fwd(cell, x):
+        if remat_feats:
+            return fwd_impl(cell, x)[0], (x, cell)
+        out, feats = fwd_impl(cell, x)
+        return out, (x, feats)
+
+    def bwd(res, g):
+        x, tf = res
+        n = x.shape[0]
+        crow, frac2, ok = geom(x)
+        if remat_feats:
+            feats = jnp.take(tf.astype(cdtype), crow, axis=0)
+        else:
+            feats = tf
+        wx, wy, wz = (axis_w(frac2, a) for a in range(3))
+        gout = _expand_feat_lanes(g.astype(cdtype).reshape(n * L, F), F,
+                                  CELL_CORNERS)
+        upd = ((wx * wy) * wz) * gout
+        adt = jnp.dtype(accum_dtype_name)
+        d_cell = _scatter_rows(crow, upd, total_rows, adt, scatter_impl)
+        h = feats * gout
+        sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
+                         -jnp.ones((), cdtype)) for a in range(3)]
+        d_frac = jnp.stack([
+            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
+        ], axis=-1).reshape(n, L, 3)
+        sc = jnp.asarray(scales, jnp.float32)
+        d_x = jnp.sum(d_frac * sc[None, :, None] * ok, axis=1)
+        return (d_cell.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype))
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
 def _make_level_encode_cell_4d(scale: float, nb: int, hashed: bool,
                                n_rows: int, n_feat: int, keyframes: int,
                                dtype_name: str,
@@ -1291,7 +1414,7 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     layouts = spec.level_layout()
 
     if (use_custom_vjp and spec.interp_impl == "pallas"
-            and spec.row_layout != "cell"
+            and spec.row_layout == "brick"
             and _pallas_route_ok(spec, n, layouts)):
         tables = tuple(
             params[f"bricks_{lvl}"] if lay["hashed"]
@@ -1313,11 +1436,45 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
         idx_lo = jnp.clip(jnp.floor(t_scaled), 0, k - 2).astype(jnp.int32)
         t_frac = (t_scaled - idx_lo.astype(t_scaled.dtype)).astype(jnp.float32)
 
+    # Level-fused cell path (3D): ONE gather + ONE table-grad scatter for
+    # all hashed levels (their [rows*27, 8F] cell tables concatenated).
+    # Dense levels keep their per-level paths (brick rows + the tiny-table
+    # one-hot MXU gradient, which the big row scatter would regress).
+    fused_slices = {}
+    if (not spec.time_keyframes and use_custom_vjp
+            and spec.row_layout == "cellfused"):
+        h_lvls = [lvl for lvl, lay in enumerate(layouts) if lay["hashed"]]
+        if h_lvls:
+            cells, offsets = [], []
+            off = 0
+            for lvl in h_lvls:
+                cells.append(_expand_cell_table(
+                    params[f"bricks_{lvl}"].astype(compute_dtype), f))
+                offsets.append(off)
+                off += layouts[lvl]["rows"] * CELLS_PER_BRICK
+            flat_cell = cells[0] if len(cells) == 1 \
+                else jnp.concatenate(cells, axis=0)
+            enc = _make_cell_fused_encode(
+                tuple(float(level_scale(l, spec.log_b, spec.base_res))
+                      for l in h_lvls),
+                tuple(layouts[l]["n_bricks_axis"] for l in h_lvls),
+                tuple(True for _ in h_lvls),
+                tuple(layouts[l]["rows"] for l in h_lvls),
+                tuple(offsets), off, f, jnp.dtype(compute_dtype).name,
+                flat_cell.dtype.name, spec.grad_accum_dtype,
+                spec.scatter_impl, spec.remat_feats)
+            fused_out = enc(flat_cell, x)          # [N, len(h_lvls)*F]
+            for i, lvl in enumerate(h_lvls):
+                fused_slices[lvl] = fused_out[:, i * f:(i + 1) * f]
+
     sel = _feature_selector(f, compute_dtype)
     outs = []
     for lvl, lay in enumerate(layouts):
         scale = level_scale(lvl, spec.log_b, spec.base_res)
         if not spec.time_keyframes:
+            if lvl in fused_slices:
+                outs.append(fused_slices[lvl])
+                continue
             if (lay["hashed"] and use_custom_vjp
                     and spec.row_layout == "cell"):
                 # expand in compute dtype: the gathered rows are cast there
@@ -1373,7 +1530,9 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 .reshape(nb3, k * spec.row_width)
             )
         flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
-        if use_custom_vjp and spec.row_layout == "cell":
+        if use_custom_vjp and spec.row_layout in ("cell", "cellfused"):
+            # no cross-level fusion for keyframe levels (two gathers/sample
+            # with per-sample keyframe offsets); cellfused == cell here
             cell4 = _expand_cell_table(flat.astype(compute_dtype), f)
             enc = _make_level_encode_cell_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],

@@ -363,6 +363,76 @@ import pytest
 
 
 @pytest.mark.parametrize("n_features", [4, 8])
+def test_cellfused_matches_cell_and_brick(n_features):
+    """row_layout='cellfused' (one gather/scatter for ALL hashed levels) is
+    bit-compatible with the per-level 'cell' path and matches 'brick' in f32
+    (outputs, table grads, position grads), including edge-clamped points."""
+    import dataclasses
+
+    spec_b = BrickGridSpec(n_levels=5, n_features=n_features, base_res=8,
+                           max_res=256,
+                           log2_hashmap_size=12, max_table_rows=512)
+    spec_c = dataclasses.replace(spec_b, row_layout="cell")
+    spec_f = dataclasses.replace(spec_b, row_layout="cellfused")
+    assert sum(l["hashed"] for l in spec_b.level_layout()) >= 2
+
+    rng = np.random.default_rng(7)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_b.param_shapes()
+    }
+    # include out-of-box points to exercise the clamp/ok gating of d_x
+    x = jnp.asarray(rng.uniform(-0.05, 1.05, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (256, spec_b.output_dim)), jnp.float32)
+
+    def run(spec):
+        def loss(p, xx):
+            out = brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(out * cot)
+
+        out = brick_encode(x, params, spec, compute_dtype=jnp.float32)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        return out, gp, gx
+
+    out_b, gp_b, gx_b = run(spec_b)
+    out_c, gp_c, gx_c = run(spec_c)
+    out_f, gp_f, gx_f = run(spec_f)
+    for got, ref, tag in [(out_f, out_c, "out"), (gx_f, gx_c, "gx")]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=tag)
+    for k in gp_c:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_c[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-5)
+    for k in gp_b:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_b[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_cellfused_4d_falls_back_to_cell():
+    """4D keyframe specs: cellfused routes through the per-level cell path."""
+    import dataclasses
+
+    spec_c = BrickGridSpec(n_levels=3, n_features=4, base_res=8, max_res=64,
+                           log2_hashmap_size=12, max_table_rows=512,
+                           time_keyframes=4, row_layout="cell")
+    spec_f = dataclasses.replace(spec_c, row_layout="cellfused")
+    rng = np.random.default_rng(3)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_c.param_shapes()
+    }
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (64, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.0, 1.0, (64, 1)), jnp.float32)
+    out_c = brick_encode(x, params, spec_c, t=t, compute_dtype=jnp.float32)
+    out_f = brick_encode(x, params, spec_f, t=t, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_c))
+
+
+@pytest.mark.parametrize("n_features", [4, 8])
 def test_cell_row_layout_matches_brick(n_features):
     """row_layout='cell' == 'brick': outputs, table grads, position grads.
 

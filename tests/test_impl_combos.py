@@ -25,13 +25,13 @@ FLAGS = ModelFlags(use_div_offsets=True, use_feat_predict=True,
                    distortion_loss=True, acc_entropy_loss=True)
 
 
-def _loss(scat, interp, seg, compact="xla"):
+def _loss(scat, interp, seg, compact="xla", row_layout="brick"):
     cfg = dataclasses.replace(
         dnerf_config(max_steps=64), target_sample_batch_size=4096,
         grid_resolution=16, render_step_size=2e-2, max_march_steps=128,
         occ_warmup_steps=8, occ_update_interval=4,
         scatter_impl=scat, interp_impl=interp, march_seg=seg,
-        compact_impl=compact)
+        compact_impl=compact, row_layout=row_layout)
     field = dataclasses.replace(build_field(cfg, FLAGS), dst_resolution=128)
     scene = BallScene(n_cams=4, wh=32, n_times=4)
     key = jax.random.PRNGKey(0)
@@ -50,4 +50,11 @@ def _loss(scat, interp, seg, compact="xla"):
 def test_impl_combo_matches_xla_baseline(scat, interp, seg, compact):
     ref = _loss("xla", "xla", seg)
     got = _loss(scat, interp, seg, compact)
+    assert abs(got - ref) < 1e-3 * max(abs(ref), 1.0), (got, ref)
+
+
+@pytest.mark.parametrize("layout", ["cell", "cellfused"])
+def test_row_layout_combo_matches_brick_baseline(layout):
+    ref = _loss("xla", "xla", 0, row_layout="brick")
+    got = _loss("xla", "xla", 0, row_layout=layout)
     assert abs(got - ref) < 1e-3 * max(abs(ref), 1.0), (got, ref)

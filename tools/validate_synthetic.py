@@ -51,7 +51,7 @@ def main():
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--remat_feats", action="store_true")
-    ap.add_argument("--row_layout", default=None, choices=("brick", "cell"))
+    ap.add_argument("--row_layout", default=None, choices=("brick", "cell", "cellfused"))
     ap.add_argument("--steady_march", type=int, default=0,
                     help="steady_march_steps (empty-space-skipping lattice; "
                          "0 = full max_march_steps)")
