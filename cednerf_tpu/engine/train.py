@@ -554,6 +554,20 @@ class Trainer:
         # compiling warmup-phase programs for transient buckets
         if mean_valid > 0 and not self._warmup_now() and self.adapt_bucket:
             self.bucket = cfg.pick_ray_bucket(mean_valid / n_rays)
+        cf = float(jnp.mean(metrics["complete_frac"]))
+        if cf < 0.5 and not self._warmup_now():
+            # most rays loss-masked: the masked MSE silently ignores them
+            # (train metrics can even read as PSNR=inf). Rate-limited so a
+            # transient post-warmup dip doesn't spam.
+            self._incomplete_warns = getattr(self, "_incomplete_warns", 0) + 1
+            if self._incomplete_warns <= 3:
+                import warnings
+                warnings.warn(
+                    f"complete_frac={cf:.2f} at step {self.step}: most rays "
+                    "were truncated and masked out of the loss. Likely "
+                    "causes: steady_march_steps smaller than the occupied "
+                    "span, or sample budget far below demand "
+                    f"(n_valid={mean_valid:.0f}).")
         return {
             "loss": float(jnp.mean(metrics["loss"])),
             "mse": float(jnp.mean(metrics["mse"])),
