@@ -31,4 +31,8 @@ runT 2400 dma_gather python tools/profile_dma_gather.py \
     --rows 442368 --n 1048576 --widths 32,64,128,256 \
     --depths 4,8,16,32 --tiles 256,512,1024
 
+# 2) lane-padding tax at cellfused shapes: elementwise / gather / scatter
+#    at [5N,32] vs width-packed forms (PERF_PLAN padding hypothesis)
+runT 2400 lanewidth python tools/profile_lanewidth.py --n 1048576 --levels 5
+
 echo "=== session8 done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
