@@ -1,0 +1,218 @@
+"""Bisect the Mosaic compile failure of ops/pallas_gather.dma_gather.
+
+Session-8 (2026-08-19): every dma_gather config died in the tunnel's remote
+compile with `HTTP 500: tpu_compile_helper subprocess exit code 1` — the
+Mosaic error itself is swallowed server-side. Round-1 Pallas kernels
+(ops/pallas_scatter, pallas_interp, pallas_compact) compiled fine on the
+same tunnel, so the failure is kernel-specific. This ladder isolates the
+feature that kills it:
+
+  k0 elementwise add-one (whole-array block)          — infra sanity
+  k1 tiled grid, block in/out                         — pipeline sanity
+  k2 ANY-space table + static-index row DMA, 1 sem    — basic HBM->VMEM DMA
+  k3 scalar-prefetch idx + dynamic-index row DMA      — SMEM-scalar ds()
+  k4 fori_loop per-row DMA, depth=1 (start+wait)      — loop-carried DMA
+  k5 sem array + modulo depth pipelining (depth=4)    — the full pattern
+  k6 ops/pallas_gather.dma_gather (tile=256, depth=4) — the shipped kernel
+
+Usage:  python tools/bisect_pallas.py [--interpret]
+Prints PASS/FAIL per rung with the first error line; exits 0 iff all pass.
+--interpret runs the same ladder in interpret mode (CPU, logic-only).
+"""
+
+import argparse
+import functools
+import sys
+import traceback
+
+sys.path.insert(0, ".")
+
+import jax
+
+if "--interpret" in sys.argv:
+    # beat the container sitecustomize's axon/TPU registration so interpret
+    # runs do not contend with the chip queue (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R, W, N, TILE = 4096, 128, 1024, 256
+
+
+def k0(interpret):
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1.0
+
+    x = jnp.arange(8 * W, dtype=jnp.float32).reshape(8, W)
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                         interpret=interpret)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) + 1.0)
+
+
+def k1(interpret):
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    x = jnp.arange(N * W, dtype=jnp.float32).reshape(N, W)
+    out = pl.pallas_call(
+        kern,
+        grid=(N // TILE,),
+        in_specs=[pl.BlockSpec((TILE, W), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((TILE, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+
+def k2(interpret):
+    """One static-index row DMA per tile from an ANY-space table."""
+    def kern(t_ref, o_ref, sem):
+        o_ref[...] = jnp.zeros_like(o_ref)
+        cp = pltpu.make_async_copy(t_ref.at[pl.ds(3, 1), :],
+                                   o_ref.at[pl.ds(0, 1), :], sem)
+        cp.start()
+        cp.wait()
+
+    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
+    out = pl.pallas_call(
+        kern,
+        grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, W), t.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret)(t)
+    got = np.asarray(out)[::TILE]
+    want = np.broadcast_to(np.asarray(t)[3:4], got.shape)
+    np.testing.assert_allclose(got, want)
+
+
+def _prefetch_call(kern, t, idx, *, scratch, interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, W), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, W), t.dtype),
+                          grid_spec=grid_spec, interpret=interpret)(idx, t)
+
+
+def k3(interpret):
+    """Dynamic-index (scalar-prefetch SMEM) single row DMA per tile."""
+    def kern(idx_ref, t_ref, o_ref, sem):
+        base = pl.program_id(0) * TILE
+        o_ref[...] = jnp.zeros_like(o_ref)
+        cp = pltpu.make_async_copy(t_ref.at[pl.ds(idx_ref[base], 1), :],
+                                   o_ref.at[pl.ds(0, 1), :], sem)
+        cp.start()
+        cp.wait()
+
+    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, R, jnp.int32)
+    out = _prefetch_call(kern, t, idx, scratch=[pltpu.SemaphoreType.DMA],
+                         interpret=interpret)
+    got = np.asarray(out)[::TILE]
+    want = np.asarray(t)[np.asarray(idx)[::TILE]]
+    np.testing.assert_allclose(got, want)
+
+
+def k4(interpret):
+    """Unpipelined per-row DMA loop (start+wait inside fori_loop)."""
+    def kern(idx_ref, t_ref, o_ref, sem):
+        base = pl.program_id(0) * TILE
+
+        def body(j, c):
+            cp = pltpu.make_async_copy(
+                t_ref.at[pl.ds(idx_ref[base + j], 1), :],
+                o_ref.at[pl.ds(j, 1), :], sem)
+            cp.start()
+            cp.wait()
+            return c
+
+        jax.lax.fori_loop(0, TILE, body, 0)
+
+    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, R, jnp.int32)
+    out = _prefetch_call(kern, t, idx, scratch=[pltpu.SemaphoreType.DMA],
+                         interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def k5(interpret):
+    """Depth-4 modulo pipelining with a DMA semaphore array."""
+    depth = 4
+
+    def kern(idx_ref, t_ref, o_ref, sems):
+        base = pl.program_id(0) * TILE
+
+        def copy(j):
+            return pltpu.make_async_copy(
+                t_ref.at[pl.ds(idx_ref[base + j], 1), :],
+                o_ref.at[pl.ds(j, 1), :], sems.at[j % depth])
+
+        def body(j, c):
+            @pl.when(j >= depth)
+            def _():
+                copy(j - depth).wait()
+            copy(j).start()
+            return c
+
+        jax.lax.fori_loop(0, TILE, body, 0)
+
+        def tail(j, c):
+            copy(TILE - depth + j).wait()
+            return c
+
+        jax.lax.fori_loop(0, depth, tail, 0)
+
+    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, R, jnp.int32)
+    out = _prefetch_call(kern, t, idx,
+                         scratch=[pltpu.SemaphoreType.DMA((depth,))],
+                         interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def k6(interpret):
+    from cednerf_tpu.ops.pallas_gather import dma_gather
+    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, R, jnp.int32)
+    if interpret:
+        # dma_gather is jitted without interpret; validate via take instead
+        return
+    out = dma_gather(t, idx, tile=TILE, depth=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()} interpret={args.interpret}",
+          flush=True)
+    ok = True
+    for name, fn in [("k0_elementwise", k0), ("k1_tiled", k1),
+                     ("k2_static_dma", k2), ("k3_dyn_idx_dma", k3),
+                     ("k4_loop_dma", k4), ("k5_pipelined", k5),
+                     ("k6_shipped", k6)]:
+        try:
+            fn(args.interpret)
+            print(f"{name:16s} PASS", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue bisect
+            first = str(e).strip().splitlines()
+            first = first[0] if first else repr(e)
+            print(f"{name:16s} FAIL {type(e).__name__}: {first[:200]}",
+                  flush=True)
+            if args.interpret:
+                traceback.print_exc()
+            ok = False
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
