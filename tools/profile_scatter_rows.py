@@ -66,6 +66,34 @@ def main():
 
     print(f"n={n} reps={reps} (marginal = (t_reps - t_1)/(reps-1))",
           flush=True)
+
+    # ---- gather marginals: validates the W=64-rows-2x-faster hypothesis
+    # (the session-8 dma probe was standalone, where the ~5 ms fixed
+    # dispatch cost confounds narrow-row rates)
+    for n_rows in (442368, 1769472):
+        for w in (32, 64, 128):
+            table = jnp.asarray(rng.standard_normal((n_rows, w)),
+                                jnp.bfloat16)
+            idx = jnp.asarray(
+                rng.integers(0, n_rows, size=n).astype(np.int32))
+
+            def gat(t, i, k):
+                s = jnp.zeros((), jnp.float32)
+                for j in range(k):
+                    # shift indices per rep (cheap [N] op) so XLA can't CSE
+                    # the takes; table stays untouched
+                    ij = (i + j) % n_rows
+                    s += jnp.sum(jnp.take(t, ij, axis=0)
+                                 .astype(jnp.float32))
+                return s
+
+            t1 = timeit(lambda t, i: gat(t, i, 1), table, idx)
+            tk = timeit(lambda t, i: gat(t, i, reps), table, idx)
+            marg = (tk - t1) / (reps - 1)
+            print(f"GATHER rows={n_rows:8d} W={w:3d} "
+                  f"t1={t1*1e3:8.2f} ms  marginal={marg*1e3:8.2f} ms "
+                  f"({marg/n*1e9:6.1f} ns/row)", flush=True)
+
     for n_rows in (16384, 65536, 262144, 1048576, 4194304):
         for w in (32, 256):
             upd = jnp.asarray(rng.standard_normal((n, w)), jnp.bfloat16)
