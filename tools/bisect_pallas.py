@@ -189,27 +189,57 @@ def k6(interpret):
     np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
 
 
+RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
+         "k4_loop_dma", "k5_pipelined", "k6_shipped"]
+
+
+def run_one(name, interpret):
+    fn = globals()[name.split("_")[0]]
+    try:
+        fn(interpret)
+        print(f"{name:16s} PASS", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001 — report and continue bisect
+        first = str(e).strip().splitlines()
+        first = first[0] if first else repr(e)
+        print(f"{name:16s} FAIL {type(e).__name__}: {first[:200]}",
+              flush=True)
+        if interpret:
+            traceback.print_exc()
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--rung", help="run one rung in-process (internal)")
+    ap.add_argument("--rung_timeout", type=int, default=240,
+                    help="per-rung subprocess timeout, s — session-8 style "
+                    "remote-compile hangs must not eat the whole ladder")
     args = ap.parse_args()
+    if args.rung:
+        sys.exit(0 if run_one(args.rung, args.interpret) else 1)
+
     print(f"backend: {jax.default_backend()} interpret={args.interpret}",
           flush=True)
+    import subprocess
     ok = True
-    for name, fn in [("k0_elementwise", k0), ("k1_tiled", k1),
-                     ("k2_static_dma", k2), ("k3_dyn_idx_dma", k3),
-                     ("k4_loop_dma", k4), ("k5_pipelined", k5),
-                     ("k6_shipped", k6)]:
+    for name in RUNGS:
+        cmd = [sys.executable, __file__, "--rung", name]
+        if args.interpret:
+            cmd.append("--interpret")
         try:
-            fn(args.interpret)
-            print(f"{name:16s} PASS", flush=True)
-        except Exception as e:  # noqa: BLE001 — report and continue bisect
-            first = str(e).strip().splitlines()
-            first = first[0] if first else repr(e)
-            print(f"{name:16s} FAIL {type(e).__name__}: {first[:200]}",
-                  flush=True)
-            if args.interpret:
-                traceback.print_exc()
+            r = subprocess.run(cmd, timeout=args.rung_timeout,
+                               capture_output=True, text=True)
+            out = (r.stdout + r.stderr).strip().splitlines()
+            tagged = [ln for ln in out if ln.startswith(name)]
+            print(tagged[-1] if tagged
+                  else f"{name:16s} DIED rc={r.returncode}: "
+                       f"{out[-1][:160] if out else ''}", flush=True)
+            ok &= r.returncode == 0
+        except subprocess.TimeoutExpired:
+            print(f"{name:16s} HANG >{args.rung_timeout}s "
+                  f"(remote compile wedged)", flush=True)
             ok = False
     sys.exit(0 if ok else 1)
 
