@@ -75,10 +75,11 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "of saving [N, 64F] residuals (use at sample "
                              "budgets >= 2M; ops/brick_grid.py)")
     parser.add_argument("--row_layout", type=str, default=None,
-                        choices=["brick", "cell", "cellfused"],
+                        choices=["brick", "cell", "cellz", "cellfused"],
                         help="hashed-level hot-row layout: 'cell' runs "
                              "per-sample encoder ops at 8F lanes instead of "
-                             "64F (ops/brick_grid.py row_layout)")
+                             "64F; 'cellz' packs the 3-cell z-column into "
+                             "one 24F-lane row (ops/brick_grid.py)")
     parser.add_argument("--steady_march_steps", type=int, default=None,
                         help="empty-space-skipping steady-state lattice "
                              "slots (0 = full max_march_steps; "

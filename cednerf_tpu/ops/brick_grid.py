@@ -116,8 +116,12 @@ class BrickGridSpec:
     # step as one row per (brick, cell) with just that cell's 8 corners
     # ([rows*27, 8F], one MXU expansion matmul), so every per-sample
     # gather/scatter/lane-math op runs at 8F lanes instead of 64F (same
-    # math — the other 56 lanes carry zero weight). Dense levels and the
-    # 4D keyframe path keep the brick layout.
+    # math — the other 56 lanes carry zero weight). "cellz" packs each
+    # brick's z-column of 3 cells into one 24F-lane row ([rows*9, 24F]) —
+    # same math again, but per-sample rows are 96 lanes at F=4, the
+    # measured-efficient v5e gather width (W=32 takes run at ~half the
+    # rows/s). Dense levels and the 4D keyframe path keep the brick/cell
+    # layouts.
     row_layout: str = "brick"
 
     @property
@@ -758,6 +762,154 @@ def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
             jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
             jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
             jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
+        ], axis=-1)
+        d_x = d_frac * jnp.float32(scale) * ok
+        return (d_cell.astype(jnp.dtype(table_dtype_name)),
+                d_x.astype(x.dtype))
+
+    enc.defvjp(fwd, bwd)
+    return enc
+
+
+# --------------------------------------------------------------------- #
+# z-packed cell rows ("cellz"): one physical row per (brick, cx, cy)
+# holding the full z-column of 3 cells (24F lanes; 96 at F=4). Motivation
+# (profile_scatter_rows / session-8 lane-width probe, v5e): XLA's per-row
+# take from a 442k-row table costs ~10 ms/M rows at W=32 but ~4.7-4.9 ms
+# at W=64-128 — the narrow cell row leaves half the gather rate on the
+# table. The target cell is selected by a lane-constant compare folded
+# into the z-axis weight, so the math is bit-identical to `cell` (the
+# other two cells' lanes carry zero weight).
+# --------------------------------------------------------------------- #
+
+ZROWS_PER_BRICK = BRICK_CELLS * BRICK_CELLS   # 9
+CELLZ_CORNERS = BRICK_CELLS * CELL_CORNERS    # 24 corner lanes per row
+
+
+@functools.lru_cache(maxsize=None)
+def _cellz_expand_matrix(n_features: int):
+    """Static [64F, 9*24F] 0/1: brick corner lanes -> z-packed cell rows.
+
+    Sub-row = cx*3 + cy; lane = (cz*8 + d)*F + f with d = dx*4 + dy*2 + dz,
+    (X,Y,Z) = (cx,cy,cz) + (dx,dy,dz)."""
+    F = n_features
+    e = np.zeros((CORNERS_PER_BRICK * F,
+                  ZROWS_PER_BRICK * CELLZ_CORNERS * F), np.float32)
+    for cx in range(BRICK_CELLS):
+        for cy in range(BRICK_CELLS):
+            zr = cx * BRICK_CELLS + cy
+            for cz in range(BRICK_CELLS):
+                for dx in range(2):
+                    for dy in range(2):
+                        for dz in range(2):
+                            d = dx * 4 + dy * 2 + dz
+                            corner = ((cx + dx) * BRICK_CORNERS + (cy + dy)) \
+                                * BRICK_CORNERS + (cz + dz)
+                            for f in range(F):
+                                e[corner * F + f,
+                                  (zr * CELLZ_CORNERS
+                                   + cz * CELL_CORNERS + d) * F + f] = 1.0
+    return e
+
+
+def _expand_cellz_table(table, n_features: int):
+    """[rows, 64F] brick table -> [rows*9, 24F] z-packed cell table.
+
+    Differentiable like _expand_cell_table: the transpose matmul in the
+    backward folds each corner's gradient from every z-row replicating it."""
+    e = jnp.asarray(_cellz_expand_matrix(n_features), table.dtype)
+    rows = table.shape[0]
+    out = jnp.dot(table, e, preferred_element_type=jnp.float32)
+    return out.astype(table.dtype).reshape(
+        rows * ZROWS_PER_BRICK, CELLZ_CORNERS * n_features)
+
+
+def _cellz_lane_cell(n_features: int):
+    """Constant [24F] int: per lane, its cell's z index within the row."""
+    lane = np.arange(CELLZ_CORNERS * n_features)
+    return jnp.asarray(lane // (CELL_CORNERS * n_features), jnp.int32)
+
+
+def _cellz_axis_bit(axis: int, n_features: int):
+    """Constant [24F] int: per lane, its corner's 0/1 offset along `axis`."""
+    lane = np.arange(CELLZ_CORNERS * n_features)
+    d = (lane // n_features) % CELL_CORNERS
+    return jnp.asarray((d >> (2 - axis)) & 1, jnp.int32)
+
+
+def _make_level_encode_cellz(scale: float, nb: int, hashed: bool, n_rows: int,
+                             n_feat: int, dtype_name: str,
+                             table_dtype_name: str = "float32",
+                             accum_dtype_name: str = "float32",
+                             scatter_impl: str = "xla",
+                             remat_feats: bool = False):
+    """Analytic custom-VJP z-packed cell-row level encode: see module note.
+
+    cellz_table: [n_rows*9, 24F] from _expand_cellz_table. Math parity with
+    _make_level_encode_cell: identical corner weights/gradients (the two
+    off-cell groups of 8F lanes carry zero weight via the cell_match factor
+    in the z-axis weight)."""
+    cdtype = jnp.dtype(dtype_name)
+    F = n_feat
+    bits = [_cellz_axis_bit(a, F)[None, :] for a in range(3)]
+    lane_cz = _cellz_lane_cell(F)[None, :]
+
+    def axis_w(frac, a):
+        fa = frac[:, a][:, None].astype(cdtype)
+        return jnp.where(bits[a] == 1, fa, 1.0 - fa)
+
+    def zrow_cz_of(rows, intra):
+        zrow = rows * ZROWS_PER_BRICK \
+            + intra[:, 0] * BRICK_CELLS + intra[:, 1]
+        return zrow, intra[:, 2]
+
+    def cell_match(cz):
+        return (lane_cz == cz[:, None]).astype(cdtype)
+
+    def fwd_impl(cellz, x):
+        rows, intra, frac, _ = _level_geom(x, scale, nb, hashed, n_rows)
+        zrow, cz = zrow_cz_of(rows, intra)
+        feats = jnp.take(cellz.astype(cdtype), zrow, axis=0)
+        w = ((axis_w(frac, 0) * axis_w(frac, 1))
+             * (axis_w(frac, 2) * cell_match(cz)))
+        sel = _feature_selector(F, cdtype, CELLZ_CORNERS)
+        out = jnp.dot(feats * w, sel, preferred_element_type=jnp.float32)
+        return out.astype(cdtype), feats
+
+    @jax.custom_vjp
+    def enc(cellz, x):
+        return fwd_impl(cellz, x)[0]
+
+    def fwd(cellz, x):
+        if remat_feats:
+            return fwd_impl(cellz, x)[0], (x, cellz)
+        out, feats = fwd_impl(cellz, x)
+        return out, (x, feats)
+
+    def bwd(res, g):
+        x, tf = res
+        rows, intra, frac, ok = _level_geom(x, scale, nb, hashed, n_rows)
+        zrow, cz = zrow_cz_of(rows, intra)
+        if remat_feats:
+            feats = jnp.take(tf.astype(cdtype), zrow, axis=0)
+        else:
+            feats = tf
+        m = cell_match(cz)
+        wx, wy = axis_w(frac, 0), axis_w(frac, 1)
+        wzm = axis_w(frac, 2) * m
+        gout = _expand_feat_lanes(g.astype(cdtype), F, CELLZ_CORNERS)
+        upd = ((wx * wy) * wzm) * gout
+        adt = jnp.dtype(accum_dtype_name)
+        d_cell = _scatter_rows(zrow, upd, n_rows * ZROWS_PER_BRICK, adt,
+                               scatter_impl)
+        h = feats * gout
+        sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
+                         -jnp.ones((), cdtype)) for a in range(3)]
+        d_frac = jnp.stack([
+            jnp.sum((h * sgn[0] * wy * wzm).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * sgn[1] * wzm).astype(jnp.float32), axis=-1),
+            jnp.sum((h * wx * wy * (sgn[2] * m)).astype(jnp.float32),
+                    axis=-1),
         ], axis=-1)
         d_x = d_frac * jnp.float32(scale) * ok
         return (d_cell.astype(jnp.dtype(table_dtype_name)),
@@ -1476,14 +1628,18 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 outs.append(fused_slices[lvl])
                 continue
             if (lay["hashed"] and use_custom_vjp
-                    and spec.row_layout == "cell"):
+                    and spec.row_layout in ("cell", "cellz")):
                 # expand in compute dtype: the gathered rows are cast there
                 # anyway, and a bf16 expansion matmul runs at full MXU rate
                 # (the fold back to the f32 master runs through astype's
                 # autodiff, accumulating in f32)
-                cell = _expand_cell_table(
+                zpack = spec.row_layout == "cellz"
+                expand = _expand_cellz_table if zpack else _expand_cell_table
+                make = (_make_level_encode_cellz if zpack
+                        else _make_level_encode_cell)
+                cell = expand(
                     params[f"bricks_{lvl}"].astype(compute_dtype), f)
-                enc = _make_level_encode_cell(
+                enc = make(
                     float(scale), lay["n_bricks_axis"], True, lay["rows"],
                     f, jnp.dtype(compute_dtype).name, cell.dtype.name,
                     spec.grad_accum_dtype, spec.scatter_impl,
@@ -1530,9 +1686,10 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 .reshape(nb3, k * spec.row_width)
             )
         flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
-        if use_custom_vjp and spec.row_layout in ("cell", "cellfused"):
+        if use_custom_vjp and spec.row_layout in ("cell", "cellfused",
+                                                  "cellz"):
             # no cross-level fusion for keyframe levels (two gathers/sample
-            # with per-sample keyframe offsets); cellfused == cell here
+            # with per-sample keyframe offsets); cellfused/cellz == cell here
             cell4 = _expand_cell_table(flat.astype(compute_dtype), f)
             enc = _make_level_encode_cell_4d(
                 float(scale), lay["n_bricks_axis"], lay["hashed"],

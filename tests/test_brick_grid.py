@@ -477,6 +477,57 @@ def test_cell_row_layout_matches_brick(n_features):
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("n_features", [4, 8])
+def test_cellz_row_layout_matches_cell(n_features):
+    """row_layout='cellz' == 'cell' == 'brick': outputs and all gradients.
+
+    The z-packed layout gathers one 24F-lane row per sample (the brick's
+    full z-column of 3 cells); the two off-cell groups of 8F lanes carry
+    zero weight via the lane-constant cell_match factor, so the math is
+    identical to the cell layout while running gathers/scatters at the
+    measured-efficient v5e row width (96 lanes at F=4)."""
+    import dataclasses
+
+    spec_b = BrickGridSpec(n_levels=5, n_features=n_features, base_res=8,
+                           max_res=256,
+                           log2_hashmap_size=12, max_table_rows=512)
+    spec_z = dataclasses.replace(spec_b, row_layout="cellz")
+    rng = np.random.default_rng(2)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_b.param_shapes()
+    }
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (256, spec_b.output_dim)), jnp.float32)
+
+    def run(spec):
+        def loss(p, xx):
+            out = brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(out * cot)
+
+        out = brick_encode(x, params, spec, compute_dtype=jnp.float32)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        return out, gp, gx
+
+    out_b, gp_b, gx_b = run(spec_b)
+    out_z, gp_z, gx_z = run(spec_z)
+    np.testing.assert_allclose(np.asarray(out_z), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_z), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-5)
+    for k in gp_b:
+        np.testing.assert_allclose(np.asarray(gp_z[k]), np.asarray(gp_b[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # remat_feats re-gathers the z-rows in the backward: identical grads
+    spec_zr = dataclasses.replace(spec_z, remat_feats=True)
+    out_r, gp_r, gx_r = run(spec_zr)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_z))
+    np.testing.assert_array_equal(np.asarray(gx_r), np.asarray(gx_z))
+    for k in gp_z:
+        np.testing.assert_array_equal(np.asarray(gp_r[k]),
+                                      np.asarray(gp_z[k]))
+
+
 def test_cell_row_layout_matches_brick_4d():
     """4D keyframe path: row_layout='cell' == 'brick' (out + all grads)."""
     import dataclasses
