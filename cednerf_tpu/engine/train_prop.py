@@ -12,6 +12,7 @@ pytree is the jit-friendly equivalent).
 """
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Sequence, Tuple
 
 import numpy as np
@@ -78,13 +79,13 @@ def create_prop_train_state(field, props, cfg: SceneConfig, key) -> PropTrainSta
     return PropTrainState(params=params, opt_state=tx.init(params))
 
 
-def make_prop_train_step(field, props, cfg: SceneConfig, flags: ModelFlags,
+def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
                          pcfg: PropConfig):
-    """Jitted proposal-path train step: sample -> render -> losses -> Adam."""
+    """Un-jitted proposal-path step body (shared by the single-step fn and
+    the scanned multi-step loop)."""
     tx = make_optimizer(cfg)
     aabb = np.asarray(cfg.aabb, np.float32)
 
-    @jax.jit
     def train_step(state: PropTrainState, batch, key, step):
         k_samp, = jax.random.split(key, 1)
         anneal = anneal_factor(step, pcfg.anneal_steps)
@@ -156,6 +157,132 @@ def make_prop_train_step(field, props, cfg: SceneConfig, flags: ModelFlags,
         return PropTrainState(params=params, opt_state=opt_state), metrics
 
     return train_step
+
+
+def make_prop_train_step(field, props, cfg: SceneConfig, flags: ModelFlags,
+                         pcfg: PropConfig):
+    """Jitted proposal-path train step: sample -> render -> losses -> Adam."""
+    return jax.jit(_make_prop_step_impl(field, props, cfg, flags, pcfg))
+
+
+def make_prop_train_loop(field, props, cfg: SceneConfig, flags: ModelFlags,
+                         pcfg: PropConfig, n_rays: int, sample_fn,
+                         k_steps: int, mesh=None):
+    """K proposal-path train steps per dispatch: lax.scan over the step.
+
+    Same production treatment as the occupancy path's make_train_loop
+    (engine/train.py): device-side ray sampling + multi-step scan amortize
+    the ~30-40 ms host dispatch round trip of a tunneled chip, and the
+    donated state updates in place. The prop path needs no occupancy
+    cadence or ray buckets (sample shapes are dense [n_rays, n_samples]),
+    so the loop is a plain scan.
+
+    mesh: optional jax.sharding.Mesh (axis "data") — each step's batch is
+    sharding-constrained along rays; the state stays replicated and GSPMD
+    all-reduces the gradients (docs/PARALLELISM.md).
+
+    Returns fn(state, data, key, step0) -> (state, stacked metrics [K]).
+    """
+    step_impl = _make_prop_step_impl(field, props, cfg, flags, pcfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def prop_loop(state: PropTrainState, data, key, step0):
+        def body(state, i):
+            k_all = jax.random.fold_in(key, i)
+            k_batch, k_step = jax.random.split(k_all)
+            batch = sample_fn(data, k_batch, n_rays, i)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec("data"))
+                batch = jax.tree_util.tree_map(
+                    lambda x: (jax.lax.with_sharding_constraint(x, sh)
+                               if getattr(x, "ndim", 0) >= 1
+                               and x.shape[0] == n_rays else x),
+                    batch)
+            return step_impl(state, batch, k_step, step0 + i)
+
+        return jax.lax.scan(body, state, jnp.arange(k_steps))
+
+    return prop_loop
+
+
+class PropTrainer:
+    """Host-side proposal-path loop (the prop twin of train.Trainer).
+
+    device_sampler: (data_pytree, sample_fn) pair (engine/sampling.py), or
+    None with stacked_host=True + a dataset exposing `sample(n_rays, rng)`
+    — each chunk's K batches are then host-assembled, stacked along a
+    leading dim and double-buffered against the device dispatch (the
+    DyNeRF IS path, whose multinomial sampling must stay on the host).
+    """
+
+    def __init__(self, field, props, cfg: SceneConfig, flags: ModelFlags,
+                 pcfg: PropConfig, device_sampler, n_rays: int,
+                 seed: int = 42, steps_per_call: int = 16, mesh=None,
+                 dataset=None):
+        self.field, self.props = field, props
+        self.cfg, self.flags, self.pcfg = cfg, flags, pcfg
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = create_prop_train_state(field, props, cfg, k_init)
+        self.step = 0
+        self.n_rays = n_rays
+        self.steps_per_call = steps_per_call
+        self.mesh = mesh
+        self.dataset = dataset
+        self._prefetched = None
+        self._stacked = device_sampler is None
+        if self._stacked:
+            if dataset is None:
+                raise ValueError("stacked-host PropTrainer needs a dataset")
+            from .sampling import make_stacked_sampler
+
+            device_sampler = (None, make_stacked_sampler())
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self.state = replicate(self.state, mesh)
+            if device_sampler[0] is not None:
+                device_sampler = (replicate(device_sampler[0], mesh),
+                                  device_sampler[1])
+        self.device_sampler = device_sampler
+        self._loop = make_prop_train_loop(
+            field, props, cfg, flags, pcfg, n_rays,
+            device_sampler[1], steps_per_call, mesh=mesh)
+
+    def _assemble_stacked(self) -> dict:
+        batches = [self.dataset.sample(self.n_rays, None)
+                   for _ in range(self.steps_per_call)]
+        return {
+            k: np.stack([np.asarray(b[k]) for b in batches])
+            for k in batches[0]
+        }
+
+    def run_chunk(self) -> dict:
+        self.key, k = jax.random.split(self.key)
+        if self._stacked:
+            data = (self._prefetched if self._prefetched is not None
+                    else self._assemble_stacked())
+            self._prefetched = None
+        else:
+            data = self.device_sampler[0]
+        self.state, metrics = self._loop(
+            self.state, data, k, jnp.asarray(self.step, jnp.int32))
+        if self._stacked:
+            # dispatch above is async until the metric fetches below —
+            # assemble the next chunk now so host sampling overlaps device
+            self._prefetched = self._assemble_stacked()
+        self.step += self.steps_per_call
+        mse = float(jnp.mean(metrics["mse"]))
+        return {
+            "loss": float(jnp.mean(metrics["loss"])),
+            "mse": mse,
+            "psnr": float(-10.0 * np.log(max(mse, 1e-12)) / np.log(10.0)),
+            "n_samples": float(jnp.mean(metrics["n_samples"])),
+            "num_rays": self.n_rays,
+            "steps": self.steps_per_call,
+        }
 
 
 def make_prop_eval_render_fn(field, props, cfg: SceneConfig, pcfg: PropConfig):

@@ -116,3 +116,62 @@ def test_prop_training_reduces_loss():
         losses.append(float(m["mse"]))
     assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:10]), (
         np.mean(losses[:10]), np.mean(losses[-10:]))
+
+
+def test_prop_scanned_loop_trains():
+    """PropTrainer (scanned 8-steps/dispatch, device sampling) learns on the
+    ball scene and reports finite chunk metrics — the production loop of
+    train_prop_real.py / tools/validate_prop.py."""
+    from cednerf_tpu.engine.train_prop import PropTrainer
+
+    cfg = dataclasses.replace(dnerf_config(max_steps=300),
+                              target_sample_batch_size=4096)
+    pcfg = PropConfig(prop_resolutions=(64,), prop_samples=(64,), n_final=32,
+                      anneal_steps=50)
+    field = DNGPRadianceField(
+        aabb=cfg.aabb, n_levels=4, dst_resolution=64, base_resolution=8,
+        log2_hashmap_size=12, moving_step=cfg.moving_step,
+    )
+    props = build_prop_networks(cfg, pcfg)
+    scene = BallScene(wh=32)
+    trainer = PropTrainer(field, props, cfg, ModelFlags(), pcfg,
+                          scene.device_sampler(), n_rays=256, seed=0,
+                          steps_per_call=8)
+    first = trainer.run_chunk()
+    assert np.isfinite(first["loss"]) and trainer.step == 8
+    for _ in range(11):
+        last = trainer.run_chunk()
+    assert trainer.step == 96
+    assert last["mse"] < 0.6 * first["mse"], (first["mse"], last["mse"])
+
+
+def test_prop_stacked_host_loop_trains():
+    """Stacked-host PropTrainer (the DyNeRF IS shape: host sampling, K
+    batches per dispatch) runs and improves."""
+    from cednerf_tpu.engine.train_prop import PropTrainer
+
+    cfg = dataclasses.replace(dnerf_config(max_steps=300),
+                              target_sample_batch_size=4096)
+    pcfg = PropConfig(prop_resolutions=(64,), prop_samples=(64,), n_final=32,
+                      anneal_steps=50)
+    field = DNGPRadianceField(
+        aabb=cfg.aabb, n_levels=4, dst_resolution=64, base_resolution=8,
+        log2_hashmap_size=12, moving_step=cfg.moving_step,
+    )
+    props = build_prop_networks(cfg, pcfg)
+
+    scene = BallScene(wh=32)
+
+    class HostDS:
+        def sample(self, n_rays, rng):
+            return scene.sample(n_rays)
+
+    trainer = PropTrainer(field, props, cfg, ModelFlags(), pcfg, None,
+                          n_rays=256, seed=0, steps_per_call=8,
+                          dataset=HostDS())
+    first = trainer.run_chunk()
+    for _ in range(7):
+        last = trainer.run_chunk()
+    assert trainer.step == 64
+    assert np.isfinite(last["loss"])
+    assert last["mse"] < 0.8 * first["mse"], (first["mse"], last["mse"])

@@ -1,11 +1,15 @@
-"""Proposal-path quality validation on the procedural dynamic scene.
+"""Proposal-path quality/time-to-quality validation on the procedural scene.
 
 The reference's train_prop_real.py declares proposal networks but never
 wires them (SURVEY #2); this validates OUR working PDF-resampling path
 end-to-end: trains the flagship field with proposal-network sampling on
-tests' BallScene and reports train PSNR trajectory + held-out eval PSNR.
+tests' BallScene (device-sampled, 16 steps/dispatch — the same production
+loop train_prop_real.py uses) and reports the train PSNR trajectory,
+held-out eval PSNR, and optional time-to-quality thresholds for the
+occupancy-vs-proposal sampler comparison (tools/ttq.py).
 
 Usage: python tools/validate_prop.py [--steps 2000] [--rays 4096]
+       [--scene ball|texture] [--ttq_db 24,28,30] [--host]
 """
 
 import argparse
@@ -19,11 +23,21 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
 
+from ttq import TTQTracker
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--scene", choices=("ball", "cloud", "texture"),
+                    default="ball")
+    ap.add_argument("--ttq_db", default="",
+                    help="comma-separated PSNR thresholds; records "
+                         "wall-clock to first crossing")
+    ap.add_argument("--host", action="store_true",
+                    help="per-step host sampling (the pre-scan loop; for "
+                         "dispatch-overhead A/Bs only)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -33,12 +47,12 @@ def main():
     from cednerf_tpu.utils import enable_compile_cache
     enable_compile_cache()
 
-    from synthetic_scene import BallScene
+    from synthetic_scene import BallCloudScene, BallScene, TexturedCloudScene
     from cednerf_tpu.engine.cli import build_field
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config
     from cednerf_tpu.engine.renderer import render_image
     from cednerf_tpu.engine.train_prop import (
-        PropConfig, build_prop_networks, create_prop_train_state,
+        PropConfig, PropTrainer, build_prop_networks, create_prop_train_state,
         make_prop_eval_render_fn, make_prop_train_step)
     from cednerf_tpu.utils.metrics import psnr
 
@@ -50,42 +64,73 @@ def main():
     field = build_field(cfg, flags)
     pcfg = PropConfig.for_family("dnerf")
     props = build_prop_networks(cfg, pcfg)
-    scene = BallScene(n_cams=8, wh=128, n_times=8)
+    scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
+                 "texture": TexturedCloudScene}[args.scene]
+    scene = scene_cls(n_cams=8, wh=128, n_times=8)
 
-    key = jax.random.PRNGKey(0)
-    key, k_init = jax.random.split(key)
-    state = create_prop_train_state(field, props, cfg, k_init)
-    step_fn = make_prop_train_step(field, props, cfg, flags, pcfg)
-
+    ttq = TTQTracker([float(t) for t in args.ttq_db.split(",") if t])
     t0 = time.perf_counter()
     history = []
-    m = {}
-    for step in range(args.steps):
-        key, k_batch, k_step = jax.random.split(key, 3)
-        batch = scene.sample(args.rays, k_batch)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, m = step_fn(state, batch, k_step, jnp.asarray(step, jnp.int32))
-        if step % 256 == 0:
-            m = {k: float(v) for k, v in m.items()}
-            history.append((step, m["psnr"]))
-            print(f"step={step} psnr={m['psnr']:.2f} loss={m['loss']:.4f}",
-                  flush=True)
+
+    if args.host:
+        key = jax.random.PRNGKey(0)
+        key, k_init = jax.random.split(key)
+        state = create_prop_train_state(field, props, cfg, k_init)
+        step_fn = make_prop_train_step(field, props, cfg, flags, pcfg)
+        m = {}
+        for step in range(args.steps):
+            key, k_batch, k_step = jax.random.split(key, 3)
+            batch = scene.sample(args.rays, k_batch)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, m = step_fn(state, batch, k_step,
+                               jnp.asarray(step, jnp.int32))
+            if step % 16 == 15:
+                mh = {k: float(v) for k, v in m.items()}
+                ttq.update(step + 1, mh["psnr"])
+                if step % 256 == 255:
+                    history.append((step + 1, mh["psnr"]))
+                    print(f"step={step + 1} psnr={mh['psnr']:.2f} "
+                          f"loss={mh['loss']:.4f}", flush=True)
+        params = state.params
+        final_train_psnr = float(m["psnr"])
+        steps_done = args.steps
+    else:
+        trainer = PropTrainer(field, props, cfg, flags, pcfg,
+                              scene.device_sampler(), n_rays=args.rays,
+                              seed=0, steps_per_call=16)
+        m = {}
+        while trainer.step < args.steps:
+            m = trainer.run_chunk()
+            ttq.update(trainer.step, m["psnr"])
+            if trainer.step % 256 < trainer.steps_per_call:
+                history.append((trainer.step, m["psnr"]))
+                print(f"step={trainer.step} psnr={m['psnr']:.2f} "
+                      f"loss={m['loss']:.4f} "
+                      f"nsamp={int(m['n_samples'])}", flush=True)
+        params = trainer.state.params
+        final_train_psnr = m["psnr"]
+        steps_done = trainer.step
     train_s = time.perf_counter() - t0
 
     render_fn = make_prop_eval_render_fn(field, props, cfg, pcfg)
     gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=0.43)
-    rgb, _, _ = render_image(field, state.params, None, render_fn,
+    rgb, _, _ = render_image(field, params, None, render_fn,
                              origins, viewdirs, jnp.float32(0.43),
                              jnp.ones(3))
     eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
 
     result = {
-        "steps": args.steps,
+        "steps": steps_done,
         "rays": args.rays,
+        "scene": args.scene,
+        "sampler": "prop",
+        "loop": "host" if args.host else "scanned",
         "train_seconds": round(train_s, 1),
-        "final_train_psnr": round(float(m["psnr"]), 2),
+        "final_train_psnr": round(final_train_psnr, 2),
         "eval_psnr": round(eval_psnr, 2),
     }
+    if ttq.thresholds:
+        result.update(ttq.result())
     print(json.dumps(result))
     if args.out:
         out = pathlib.Path(args.out)

@@ -51,7 +51,12 @@ def main():
                     help="override two-stage segment marching (0 = off)")
     ap.add_argument("--interp_impl", default=None, choices=("xla", "pallas"))
     ap.add_argument("--remat_feats", action="store_true")
-    ap.add_argument("--row_layout", default=None, choices=("brick", "cell", "cellfused"))
+    ap.add_argument("--row_layout", default=None,
+                    choices=("brick", "cell", "cellz", "cellfused"))
+    ap.add_argument("--ttq_db", default="",
+                    help="comma-separated PSNR thresholds (e.g. '24,28,30'); "
+                         "records wall-clock seconds to first chunk whose "
+                         "train PSNR crosses each (tools/ttq.py)")
     ap.add_argument("--steady_march", type=int, default=0,
                     help="steady_march_steps (empty-space-skipping lattice; "
                          "0 = full max_march_steps)")
@@ -127,10 +132,14 @@ def main():
     trainer = Trainer(field, cfg, flags, scene, seed=0,
                       device_sampler=scene.device_sampler(), steps_per_call=16)
 
+    from ttq import TTQTracker
+
+    ttq = TTQTracker([float(t) for t in args.ttq_db.split(",") if t])
     t0 = time.perf_counter()
     history = []
     while trainer.step < args.steps:
         m = trainer.run_chunk()
+        ttq.update(trainer.step, m["psnr"])
         if trainer.step % 256 < trainer.steps_per_call:
             history.append((trainer.step, m["psnr"]))
             print(f"step={trainer.step} psnr={m['psnr']:.2f} "
@@ -177,6 +186,8 @@ def main():
         "train_view_psnr": round(train_view_psnr, 2),
         "eval_psnr": round(eval_psnr, 2),
     }
+    if ttq.thresholds:
+        result.update(ttq.result())
     print(json.dumps(result))
     if args.out:
         out = pathlib.Path(args.out)

@@ -51,10 +51,9 @@ def main():
     from cednerf_tpu.engine.renderer import render_image
     from cednerf_tpu.engine.train_prop import (
         PropConfig,
+        PropTrainer,
         build_prop_networks,
-        create_prop_train_state,
         make_prop_eval_render_fn,
-        make_prop_train_step,
     )
     from cednerf_tpu.utils.image import write_png
     from cednerf_tpu.utils.metrics import depth_to_img, ms_ssim, psnr
@@ -106,23 +105,28 @@ def main():
     test_dataset = Loader(subject_id=args.scene, root_fp=args.data_root,
                           split="test", num_rays=None, **test_kwargs)
 
-    state = create_prop_train_state(field, props, cfg, jax.random.PRNGKey(42))
-    step_fn = make_prop_train_step(field, props, cfg, flags, pcfg)
+    # Scanned 16-steps/dispatch loop: device sampling when the loader fits
+    # HBM (DNeRF/HyperNeRF), host-assembled stacked batches otherwise
+    # (DyNeRF IS) — engine/train_prop.py PropTrainer.
+    sampler = (train_dataset.device_sampler()
+               if hasattr(train_dataset, "device_sampler") else None)
+    trainer = PropTrainer(field, props, cfg, flags, pcfg, sampler,
+                          n_rays=args.num_rays, seed=42, steps_per_call=16,
+                          dataset=None if sampler else train_dataset)
 
-    key = jax.random.PRNGKey(0)
     tic = time.time()
-    for step in range(cfg.max_steps + 1):
-        key, k = jax.random.split(key)
-        batch = {k2: jnp.asarray(v) for k2, v in
-                 train_dataset.sample(args.num_rays).items()}
-        state, m = step_fn(state, batch, k, step)
-        if step % 10000 == 0:
+    m = {"loss": 0.0, "psnr": 0.0, "n_samples": 0.0}
+    while trainer.step < cfg.max_steps:
+        m = trainer.run_chunk()
+        if trainer.step % 10000 < trainer.steps_per_call:
             print(
-                f"elapsed_time={time.time() - tic:.2f}s | step={step} | "
-                f"loss={float(m['loss']):.5f} | psnr={float(m['psnr']):.2f} | "
+                f"elapsed_time={time.time() - tic:.2f}s | "
+                f"step={trainer.step} | loss={m['loss']:.5f} | "
+                f"psnr={m['psnr']:.2f} | "
                 f"n_rendering_samples={int(m['n_samples'])} |"
             )
     print(f"train time: {time.time() - tic:.2f}s")
+    state = trainer.state
 
     render_chunk = make_prop_eval_render_fn(field, props, cfg, pcfg)
     psnrs, ssims = [], []
