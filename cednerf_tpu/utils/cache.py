@@ -16,8 +16,17 @@ def enable_compile_cache(path: str | None = None) -> str:
     """Idempotently point JAX at a persistent compilation cache directory.
 
     Respects an explicit user setting (JAX_COMPILATION_CACHE_DIR or a
-    previously configured jax.config value)."""
+    previously configured jax.config value).
+
+    Also the choke point every entry script passes through right after
+    `import jax`, so it enforces the caller's JAX_PLATFORMS request
+    (utils/platform.py) before any backend initializes — a CPU-intended
+    tool run must never land on the tunneled chip and contend with an
+    unattended bench holding it."""
     import jax
+
+    from .platform import respect_platform_env
+    respect_platform_env()
 
     current = jax.config.jax_compilation_cache_dir
     if current:
