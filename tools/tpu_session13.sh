@@ -1,0 +1,57 @@
+#!/bin/bash
+# Session-13: (1) re-run the L8F8 structural arm uncontended — the
+# session-12 number (2.21M) was contaminated by a stray CPU-intended
+# validate run that the sitecustomize redirected onto the chip (fixed in
+# utils/platform.py); (2) first on-chip time-to-quality comparison of the
+# occupancy-marching path vs the proposal PDF-resampling path
+# (tools/ttq.py; BASELINE.json names time-to-30dB a tracked metric) —
+# the prop path places ~3x fewer samples/ray, so seconds-to-PSNR is the
+# honest cross-sampler scoreboard; (3) prop ray-batch scaling arm.
+# Waits for the session-12 runner to release the chip first.
+set -u
+OUT=${1:-/tmp/r2s13}
+PREV=${2:-/tmp/r2s12}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+echo $$ > "$OUT/runner.pid"
+
+if [ -f "$PREV/runner.pid" ]; then
+  prev=$(cat "$PREV/runner.pid")
+  while kill -0 "$prev" 2>/dev/null; do sleep 60; done
+fi
+
+runT() {
+  local tmo=$1 name=$2; shift 2
+  echo "=== $name: $* ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1 &
+  echo $! > "$OUT/child.pid"
+  wait $!
+  echo "=== $name rc=$? ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+}
+
+echo "=== session13 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+
+# 1. honest L8F8 re-run (64-lane cell rows: gathers at the ~2.1x
+#    cheaper-per-row W>=64 regime, same row count, 2x capacity)
+runT 2400 bench_cell_l8f8_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "hash_n_features": 8, "row_layout": "cell", "steady_march_steps": 512}' \
+    python bench.py
+
+# 2. time-to-quality, occupancy path at the promoted bench knobs
+#    (ball scene, 4k steps; thresholds bracket the scene's converged PSNR)
+runT 3600 ttq_occ_4k python tools/validate_synthetic.py \
+    --steps 4000 --scene ball --levels 8 --features 4 \
+    --row_layout cell --steady_march 512 --budget 1048576 \
+    --ttq_db 24,28,30,32 --out "$OUT/ttq_occ_4k"
+
+# 3. time-to-quality, proposal path (same scene/steps; dense shapes,
+#    no occupancy grid / marching lattice / compaction)
+runT 3600 ttq_prop_4k python tools/validate_prop.py \
+    --steps 4000 --rays 8192 --scene ball \
+    --ttq_db 24,28,30,32 --out "$OUT/ttq_prop_4k"
+
+# 3b. prop ray-batch scaling (is 16k rays/step a better operating point?)
+runT 3600 ttq_prop_4k_16k python tools/validate_prop.py \
+    --steps 4000 --rays 16384 --scene ball \
+    --ttq_db 24,28,30,32 --out "$OUT/ttq_prop_4k_16k"
+
+echo "=== session13 done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
