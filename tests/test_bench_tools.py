@@ -181,3 +181,30 @@ def test_parse_bench_log_with_bool_override(picker, tmp_path):
     overrides, value = picker.parse_bench_log(log)
     assert overrides["remat_feats"] is True
     assert value == 4.5e6
+
+
+def test_ttq_tracker_thresholds_and_compile_estimate(monkeypatch):
+    """tools/ttq.py: first-crossing wall clocks, never-hit -> None, and the
+    compile estimate = first chunk minus the median later chunk."""
+    ttq_mod = _load("ttq", REPO / "tools" / "ttq.py")
+
+    clock = {"t": 100.0}
+    monkeypatch.setattr(ttq_mod.time, "perf_counter", lambda: clock["t"])
+    tr = ttq_mod.TTQTracker([20, 28, 30])
+
+    # first chunk: 60 s (compile-dominated), psnr 18
+    clock["t"] += 60.0
+    tr.update(16, 18.0)
+    # steady 2 s chunks climbing through the thresholds
+    for step, psnr in ((32, 21.0), (48, 26.0), (64, 28.5), (80, 29.0)):
+        clock["t"] += 2.0
+        tr.update(step, psnr)
+
+    res = tr.result()
+    assert res["ttq_s"]["20"] == [62.0, 32]
+    assert res["ttq_s"]["28"] == [66.0, 64]
+    assert res["ttq_s"]["30"] is None
+    assert res["median_chunk_s"] == 2.0
+    assert res["compile_s_estimate"] == 58.0
+    # monotone: an earlier threshold can't be hit later
+    assert res["ttq_s"]["20"][0] <= res["ttq_s"]["28"][0]
