@@ -29,6 +29,11 @@ def render_gt(origins, viewdirs, t):
 class BallScene:
     """Sampler protocol: sample(num_rays, key) + timestamps_pool + eval rays."""
 
+    #: When True, the camera index IS the time index (one observation per
+    #: timestep — the monocular/vrig capture regime); requires
+    #: n_cams == n_times. Class attr so every sampler variant honors it.
+    monocular = False
+
     def __init__(self, n_cams: int = 6, wh: int = 48, n_times: int = 4, seed: int = 0):
         self.wh = wh
         focal = wh * 1.1
@@ -57,8 +62,9 @@ class BallScene:
 
     def sample(self, num_rays: int, key=None) -> dict:
         rng = self._rng
-        cam = rng.integers(0, len(self.c2ws), num_rays)
         ti = rng.integers(0, len(self.times), num_rays)
+        cam = ti if self.monocular else rng.integers(0, len(self.c2ws),
+                                                     num_rays)
         x = rng.integers(0, self.wh, num_rays).astype(np.float32)
         y = rng.integers(0, self.wh, num_rays).astype(np.float32)
         origins, viewdirs, _ = pinhole_rays(x, y, self.K, self.c2ws[cam], True)
@@ -94,10 +100,14 @@ class BallScene:
         ball_color = jnp.asarray(BALL_COLOR)
         bg = jnp.asarray(BG)
 
+        mono = self.monocular
+
         def sample(d, key, n_rays: int, i=None):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
             ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
+            if mono:           # monocular capture: the time picks the camera
+                cam = ti
             x = jax.random.randint(k3, (n_rays,), 0, wh).astype(jnp.float32)
             y = jax.random.randint(k4, (n_rays,), 0, wh).astype(jnp.float32)
             origins, viewdirs = pinhole_rays_device(x, y, d["K"], d["c2ws"][cam],
@@ -187,8 +197,9 @@ class BallCloudScene(BallScene):
 
     def sample(self, num_rays: int, key=None) -> dict:
         rng = self._rng
-        cam = rng.integers(0, len(self.c2ws), num_rays)
         ti = rng.integers(0, len(self.times), num_rays)
+        cam = ti if self.monocular else rng.integers(0, len(self.c2ws),
+                                                     num_rays)
         x = rng.integers(0, self.wh, num_rays).astype(np.float32)
         y = rng.integers(0, self.wh, num_rays).astype(np.float32)
         origins, viewdirs, _ = pinhole_rays(x, y, self.K, self.c2ws[cam], True)
@@ -225,10 +236,14 @@ class BallCloudScene(BallScene):
         wh = self.wh
         bg = jnp.asarray(BG)
 
+        mono = self.monocular
+
         def sample(d, key, n_rays: int, i=None):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
             ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
+            if mono:           # monocular capture: the time picks the camera
+                cam = ti
             x = jax.random.randint(k3, (n_rays,), 0, wh).astype(jnp.float32)
             y = jax.random.randint(k4, (n_rays,), 0, wh).astype(jnp.float32)
             origins, viewdirs = pinhole_rays_device(x, y, d["K"],
@@ -321,10 +336,14 @@ class TexturedCloudScene(BallCloudScene):
         wh = self.wh
         bg = jnp.asarray(BG)
 
+        mono = self.monocular
+
         def sample(d, key, n_rays: int, i=None):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             cam = jax.random.randint(k1, (n_rays,), 0, d["c2ws"].shape[0])
             ti = jax.random.randint(k2, (n_rays,), 0, d["times"].shape[0])
+            if mono:           # monocular capture: the time picks the camera
+                cam = ti
             x = jax.random.randint(k3, (n_rays,), 0, wh).astype(jnp.float32)
             y = jax.random.randint(k4, (n_rays,), 0, wh).astype(jnp.float32)
             origins, viewdirs = pinhole_rays_device(x, y, d["K"],
@@ -353,6 +372,32 @@ class TexturedCloudScene(BallCloudScene):
             }
 
         return data, sample
+
+
+class MonocularOrbitScene(BallCloudScene):
+    """HyperNeRF-vrig-regime gate: each timestep is observed from exactly
+    ONE camera of a handheld-style orbit (n_cams == n_times, camera i <->
+    time i), so viewpoint and scene time are fully entangled — the capture
+    regime of the reference's only published numbers (run_hyper.sh vrig
+    scenes: a single moving rig camera; hypernerf.py one-image batches).
+    The multi-cam ball/cloud/texture scenes sample (camera, time)
+    independently (the DNeRF/DyNeRF regime) and cannot catch a model that
+    leans on synchronized multi-view supervision per timestep.
+
+    Eval protocol mirrors vrig's held-out rig: a NOVEL camera angle at a
+    TRAINING time (eval_view), where a time-overfit model shows ghosting.
+    """
+
+    monocular = True
+
+    def __init__(self, n_frames: int = 32, wh: int = 128,
+                 n_balls: int = 48, seed: int = 0):
+        super().__init__(n_cams=n_frames, wh=wh, n_times=n_frames,
+                         n_balls=n_balls, seed=seed)
+        # slow the per-ball drift to what one orbit pass can constrain
+        # (full-speed balls move ~0.8 units over the sequence while each
+        # region is observed during only a fraction of it)
+        self.vels = (0.5 * self.vels).astype(np.float32)
 
 
 class ProceduralLoader:

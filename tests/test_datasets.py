@@ -501,3 +501,39 @@ def test_render_path_generators():
     box = get_bounding_box(poses)
     assert len(box) == 6 and box[0] <= box[3]
     assert get_bounding_sphere(poses) >= np.abs(poses[:, :3, 3]).max() - 1e-9
+
+
+def test_monocular_orbit_scene_entangles_cam_and_time():
+    """MonocularOrbitScene: every sampled ray's camera is its timestep's
+    camera (host and device samplers), matching the vrig capture regime."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthetic_scene import MonocularOrbitScene
+
+    scene = MonocularOrbitScene(n_frames=8, wh=32, n_balls=8)
+    assert scene.monocular and len(scene.c2ws) == len(scene.times)
+
+    batch = scene.sample(128)
+    # reconstruct the camera from each ray's origin: monocular means the
+    # origin must be the c2w translation of the TIME index
+    t = batch["timestamps"].reshape(-1)
+    ti = np.argmin(np.abs(t[:, None] - scene.times[None]), axis=1)
+    np.testing.assert_allclose(batch["origins"], scene.c2ws[ti][:, :, 3],
+                               atol=1e-5)
+
+    data, fn = scene.device_sampler()
+    db = jax.jit(fn, static_argnums=2)(data, jax.random.PRNGKey(3), 128)
+    t = np.asarray(db["timestamps"]).reshape(-1)
+    ti = np.argmin(np.abs(t[:, None] - scene.times[None]), axis=1)
+    np.testing.assert_allclose(np.asarray(db["origins"]),
+                               scene.c2ws[ti][:, :, 3], atol=1e-5)
+    # and a multi-view scene keeps (cam, time) independent: some ray must
+    # break the pairing
+    from synthetic_scene import BallCloudScene
+
+    mv = BallCloudScene(n_cams=8, wh=32, n_times=8, n_balls=8)
+    b2 = mv.sample(256)
+    t2 = b2["timestamps"].reshape(-1)
+    ti2 = np.argmin(np.abs(t2[:, None] - mv.times[None]), axis=1)
+    assert not np.allclose(b2["origins"], mv.c2ws[ti2][:, :, 3])

@@ -54,4 +54,11 @@ runT 3600 ttq_prop_4k_16k python tools/validate_prop.py \
     --steps 4000 --rays 16384 --scene ball \
     --ttq_db 24,28,30,32 --out "$OUT/ttq_prop_4k_16k"
 
+# 4. monocular (vrig-regime) quality gate: one camera per timestep,
+#    held-out novel camera at a train time — the capture regime of the
+#    reference's only published numbers (run_hyper.sh)
+runT 3600 val_mono_2k python tools/validate_synthetic.py \
+    --steps 2000 --scene mono --levels 8 --features 4 \
+    --ttq_db 24,28,30 --out "$OUT/val_mono_2k"
+
 echo "=== session13 done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"

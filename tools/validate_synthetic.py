@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--levels", type=int, default=16)
     ap.add_argument("--features", type=int, default=2)
-    ap.add_argument("--scene", choices=("ball", "cloud", "texture"),
+    ap.add_argument("--scene", choices=("ball", "cloud", "texture", "mono"),
                     default="ball")
     ap.add_argument("--grid_type", choices=("hash3d", "hash4d", "triplane"),
                     default="hash3d")
@@ -124,11 +124,16 @@ def main():
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
-    from synthetic_scene import TexturedCloudScene
+    from synthetic_scene import MonocularOrbitScene, TexturedCloudScene
 
-    scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
-                 "texture": TexturedCloudScene}[args.scene]
-    scene = scene_cls(n_cams=8, wh=wh, n_times=8)
+    if args.scene == "mono":
+        # vrig capture regime: one camera per timestep (32-frame orbit);
+        # eval_view at a train time is the held-out-rig protocol
+        scene = MonocularOrbitScene(n_frames=32, wh=wh)
+    else:
+        scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
+                     "texture": TexturedCloudScene}[args.scene]
+        scene = scene_cls(n_cams=8, wh=wh, n_times=8)
     trainer = Trainer(field, cfg, flags, scene, seed=0,
                       device_sampler=scene.device_sampler(), steps_per_call=16)
 
@@ -160,10 +165,16 @@ def main():
     train_view_psnr = float(psnr(jnp.asarray(rgb_tv), jnp.asarray(tv["pixels"])))
 
     # Held-out eval: novel camera angle + mid-time (not in the train set).
-    gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=0.43)
+    # Monocular (vrig protocol): novel camera at the NEAREST TRAIN time —
+    # each time was seen from one camera only, so the novel view is the
+    # held-out rig; an off-train time would confound time interpolation.
+    t_eval = 0.43
+    if scene.monocular:
+        t_eval = float(scene.times[np.argmin(np.abs(scene.times - t_eval))])
+    gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=t_eval)
     rgb, _, _ = render_image(field, trainer.state.params, trainer.state.occ,
                              render_fn, origins, viewdirs,
-                             jnp.float32(0.43), jnp.ones(3))
+                             jnp.float32(t_eval), jnp.ones(3))
     eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
 
     result = {
