@@ -36,6 +36,12 @@ echo "=== session13 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log
 runT 2400 bench_cell_l8f8_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "hash_n_features": 8, "row_layout": "cell", "steady_march_steps": 512}' \
     python bench.py
 
+# 1b. 2M-sample budget at the promoted default (the pre-cell budget sweep
+#     showed near-linear step scaling; cell+sm512 cut the marginal terms,
+#     so re-test whether a bigger batch now amortizes the fixed costs)
+runT 2400 bench_cell_2m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 2097152, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 512, "remat_feats": true}' \
+    python bench.py
+
 # 2. time-to-quality, occupancy path at the promoted bench knobs
 #    (ball scene, 4k steps; thresholds bracket the scene's converged PSNR)
 runT 3600 ttq_occ_4k python tools/validate_synthetic.py \
