@@ -42,6 +42,15 @@ runT 2400 bench_cell_l8f8_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size":
 runT 2400 bench_cell_2m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 2097152, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 512, "remat_feats": true}' \
     python bench.py
 
+# 1c. fine_table_rows=65536 at the promoted cell defaults: the session-12
+#     texture gate showed ftr65536 closes the brick-vs-reference-exact
+#     train gap to -0.16 dB (27.26 vs 27.42; capped brick was -1.34) — if
+#     this arm holds near 2.9M, quality AND speed defaults unify. Risk:
+#     65536-row fine bricks make 1.77M-row cell tables, possibly in the
+#     degenerate big-table scatter regime (the scatter_rows curve decides).
+runT 2400 bench_cell_ftr_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 512, "fine_table_rows": 65536}' \
+    python bench.py
+
 # 2. time-to-quality, occupancy path at the promoted bench knobs
 #    (ball scene, 4k steps; thresholds bracket the scene's converged PSNR)
 runT 3600 ttq_occ_4k python tools/validate_synthetic.py \
