@@ -178,19 +178,49 @@ def k5(interpret):
     np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
 
 
-def k6(interpret):
+def _shipped(interpret, *, rows=R, n=N, w=W, tile=TILE, dtype=jnp.float32):
     from cednerf_tpu.ops.pallas_gather import dma_gather
-    t = jnp.arange(R * W, dtype=jnp.float32).reshape(R, W)
-    idx = jax.random.randint(jax.random.PRNGKey(0), (N,), 0, R, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    t = jax.random.normal(key, (rows, w), jnp.float32).astype(dtype)
+    idx = jax.random.randint(key, (n,), 0, rows, jnp.int32)
     if interpret:
         # dma_gather is jitted without interpret; validate via take instead
         return
-    out = dma_gather(t, idx, tile=TILE, depth=4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+    out = dma_gather(t, idx, tile=tile, depth=4)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(t, np.float32)[np.asarray(idx)])
+
+
+def k6(interpret):
+    _shipped(interpret)
+
+
+# Session-12 narrowed the space: k6 (f32, W=128, R=4096, N=1024) PASSES
+# while every probe config (bf16, W=32-256, R>=16384, N=1M) gets a fast
+# HTTP 500 (tpu_compile_helper subprocess crash). One variable at a time:
+def k7(interpret):
+    """k6 but bf16 rows — is the crash the sub-(16,128)-tile bf16 row?"""
+    _shipped(interpret, dtype=jnp.bfloat16)
+
+
+def k8(interpret):
+    """k6 but a cell-table row count (442368)."""
+    _shipped(interpret, rows=442368)
+
+
+def k9(interpret):
+    """k6 but 1M gathered rows (4096-program grid)."""
+    _shipped(interpret, n=1 << 20)
+
+
+def k10(interpret):
+    """k6 but 32-lane rows (the F=4 cell-row width)."""
+    _shipped(interpret, w=32)
 
 
 RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
-         "k4_loop_dma", "k5_pipelined", "k6_shipped"]
+         "k4_loop_dma", "k5_pipelined", "k6_shipped", "k7_bf16",
+         "k8_bigtable", "k9_bign", "k10_w32"]
 
 
 def run_one(name, interpret):

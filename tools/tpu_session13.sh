@@ -31,6 +31,12 @@ runT() {
 
 echo "=== session13 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 
+# 0. extended Mosaic bisect: session-12 narrowed the dma_gather compile
+#    crash to {bf16 rows | big tables | 1M-row grids | 32-lane rows} —
+#    k7-k10 flip one variable each off the passing k6 config. Cheap and
+#    decisive for the round-3 fused-encoder plan.
+runT 2700 bisect2 python tools/bisect_pallas.py
+
 # 1. honest L8F8 re-run (64-lane cell rows: gathers at the ~2.1x
 #    cheaper-per-row W>=64 regime, same row count, 2x capacity)
 runT 2400 bench_cell_l8f8_1m env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "hash_n_features": 8, "row_layout": "cell", "steady_march_steps": 512}' \
