@@ -157,4 +157,5 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         fine_table_rows=cfg.fine_table_rows,
         remat_feats=cfg.remat_feats,
         row_layout=cfg.row_layout,
+        cell_rows_cap=cfg.cell_rows_cap,
     )

@@ -81,6 +81,12 @@ class SceneConfig:
     # at HBM (not VMEM) cost; levels over the VMEM bound use the XLA
     # scatter automatically. 0 = uniform cap.
     fine_table_rows: int = 0
+    # Per-level cell-layout row guard: a hashed level whose CELL table
+    # (rows*27) would exceed this keeps the brick layout — the v5e
+    # scatter-add marginal cost degenerates ~10x past ~0.5M-row tables
+    # (tools/profile_scatter_rows.py curve). Makes fine_table_rows
+    # compatible with row_layout=cell.
+    cell_rows_cap: int = 524288
     # re-gather encoder rows in the backward instead of saving the [N, 64F]
     # per-level residuals (ops/brick_grid.py remat_feats): trades ~0.5 ms
     # re-gather per level for ~4 GB residual HBM per 1M budget samples —

@@ -110,6 +110,7 @@ class HashGridEncoder(nn.Module):
                 fine_table_rows=self.spec.fine_table_rows,
                 remat_feats=self.spec.remat_feats,
                 row_layout=self.spec.row_layout,
+                cell_rows_cap=self.spec.cell_rows_cap,
             )
             params = {
                 name: self.param(
@@ -217,6 +218,7 @@ class DNGPRadianceField(nn.Module):
     fine_table_rows: int = 0  # brick-impl fine-level row override
     remat_feats: bool = False  # brick-impl: re-gather rows in the backward
     row_layout: str = "brick"  # brick-impl hashed-level hot-row layout
+    cell_rows_cap: int = 524288  # per-level cell-layout row guard
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -234,6 +236,7 @@ class DNGPRadianceField(nn.Module):
             fine_table_rows=self.fine_table_rows,
             remat_feats=self.remat_feats,
             row_layout=self.row_layout,
+            cell_rows_cap=self.cell_rows_cap,
         )
 
     @property

@@ -123,6 +123,14 @@ class BrickGridSpec:
     # rows/s). Dense levels and the 4D keyframe path keep the brick/cell
     # layouts.
     row_layout: str = "brick"
+    # Per-level cell-layout guard: a level whose cell table would exceed
+    # this many rows keeps the BRICK layout instead. Measured
+    # (tools/profile_scatter_rows.py, v5e, 1M bf16 update rows, W=32):
+    # scatter-add marginal cost is ~6-10 ns/row up to 442k-row tables but
+    # degenerates to ~98 ns/row at 1M and ~121 at 4M — so e.g.
+    # fine_table_rows=65536 (1.77M cell rows) must NOT run cell-layout
+    # scatters, while its 65536-row W=256 brick scatter stays ~11 ns/row.
+    cell_rows_cap: int = 524288
 
     @property
     def log_b(self) -> float:
@@ -557,13 +565,10 @@ def _make_level_encode(scale: float, nb: int, hashed: bool, n_rows: int,
             ws64.append(w1)
             dws64.append(dw1)
 
-        def lane_dot64(a_, b_, c_):
-            return jnp.sum((h64 * a_ * b_ * c_).astype(jnp.float32), axis=-1)
-
-        d_frac = jnp.stack(
-            [lane_dot64(dws64[0], ws64[1], ws64[2]),
-             lane_dot64(ws64[0], dws64[1], ws64[2]),
-             lane_dot64(ws64[0], ws64[1], dws64[2])], axis=-1)
+        d_frac = _axis_sum_matmul(
+            [h64 * dws64[0] * ws64[1] * ws64[2],
+             h64 * ws64[0] * dws64[1] * ws64[2],
+             h64 * ws64[0] * ws64[1] * dws64[2]], cdtype)
         d_x = d_frac * jnp.float32(scale) * ok
         return (d_table.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype))
@@ -693,6 +698,24 @@ def _cell_axis_bit(axis: int, n_features: int):
     return jnp.asarray(bit, jnp.int32)
 
 
+def _axis_sum_matmul(terms, cdtype):
+    """Sum each [N, W] term over its lane axis in ONE MXU matmul -> [N, K].
+
+    A lane-axis reduction with a 1-D [N] output pays a fixed ~2-3 ms
+    retiling floor per op at 1M samples on v5e (tools/profile_layouts.py;
+    the 2026-08-19 trace of the promoted default shows 18 such
+    convert_reduce fusions = ~59 ms/step, 19% of the step). Concatenating
+    the K terms to [N, K*W] and contracting with the constant
+    block-diagonal kron(I_K, 1_W) keeps the output 2-D and the work on the
+    MXU (f32 accumulation, same product rounding; only the f32 summation
+    ORDER differs from jnp.sum)."""
+    k = len(terms)
+    w = terms[0].shape[-1]
+    x = jnp.concatenate(terms, axis=-1)
+    blocks = jnp.asarray(np.kron(np.eye(k), np.ones((w, 1))), cdtype)
+    return jnp.dot(x, blocks, preferred_element_type=jnp.float32)
+
+
 def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
                             n_feat: int, dtype_name: str,
                             table_dtype_name: str = "float32",
@@ -754,15 +777,16 @@ def _make_level_encode_cell(scale: float, nb: int, hashed: bool, n_rows: int,
         adt = jnp.dtype(accum_dtype_name)
         d_cell = _scatter_rows(crow, upd, n_rows * CELLS_PER_BRICK, adt,
                                scatter_impl)
-        # position gradient: dw/dfrac_a swaps that axis's factor for +-1
+        # position gradient: dw/dfrac_a swaps that axis's factor for +-1;
+        # the three lane sums run as one MXU contraction (_axis_sum_matmul)
         h = feats * gout
         sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
                          -jnp.ones((), cdtype)) for a in range(3)]
-        d_frac = jnp.stack([
-            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
-        ], axis=-1)
+        d_frac = _axis_sum_matmul([
+            h * sgn[0] * wy * wz,
+            h * wx * sgn[1] * wz,
+            h * wx * wy * sgn[2],
+        ], cdtype)
         d_x = d_frac * jnp.float32(scale) * ok
         return (d_cell.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype))
@@ -905,12 +929,11 @@ def _make_level_encode_cellz(scale: float, nb: int, hashed: bool, n_rows: int,
         h = feats * gout
         sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
                          -jnp.ones((), cdtype)) for a in range(3)]
-        d_frac = jnp.stack([
-            jnp.sum((h * sgn[0] * wy * wzm).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * sgn[1] * wzm).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * wy * (sgn[2] * m)).astype(jnp.float32),
-                    axis=-1),
-        ], axis=-1)
+        d_frac = _axis_sum_matmul([
+            h * sgn[0] * wy * wzm,
+            h * wx * sgn[1] * wzm,
+            h * wx * wy * (sgn[2] * m),
+        ], cdtype)
         d_x = d_frac * jnp.float32(scale) * ok
         return (d_cell.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype))
@@ -1028,11 +1051,11 @@ def _make_cell_fused_encode(scales, nbs, hashed, rows_n, offsets,
         h = feats * gout
         sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
                          -jnp.ones((), cdtype)) for a in range(3)]
-        d_frac = jnp.stack([
-            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
-        ], axis=-1).reshape(n, L, 3)
+        d_frac = _axis_sum_matmul([
+            h * sgn[0] * wy * wz,
+            h * wx * sgn[1] * wz,
+            h * wx * wy * sgn[2],
+        ], cdtype).reshape(n, L, 3)
         sc = jnp.asarray(scales, jnp.float32)
         d_x = jnp.sum(d_frac * sc[None, :, None] * ok, axis=1)
         return (d_cell.astype(jnp.dtype(table_dtype_name)),
@@ -1136,13 +1159,16 @@ def _make_level_encode_cell_4d(scale: float, nb: int, hashed: bool,
         h = feats * gout
         sgn = [jnp.where(bits[a] == 1, jnp.ones((), cdtype),
                          -jnp.ones((), cdtype)) for a in range(3)]
-        d_frac = jnp.stack([
-            jnp.sum((h * sgn[0] * wy * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * sgn[1] * wz).astype(jnp.float32), axis=-1),
-            jnp.sum((h * wx * wy * sgn[2]).astype(jnp.float32), axis=-1),
-        ], axis=-1)
+        # 3 axis sums + the keyframe-interp time grad batched as ONE
+        # 4-column MXU contraction (see _axis_sum_matmul)
+        sums = _axis_sum_matmul([
+            h * sgn[0] * wy * wz,
+            h * wx * sgn[1] * wz,
+            h * wx * wy * sgn[2],
+            (hi - lo) * gout * w,
+        ], cdtype)
+        d_frac, d_tf = sums[:, :3], sums[:, 3]
         d_x = d_frac * jnp.float32(scale) * ok
-        d_tf = jnp.sum(((hi - lo) * gout * w).astype(jnp.float32), axis=-1)
         d_t = (d_tf * jnp.float32(K - 1)).reshape(t.shape).astype(t.dtype)
         return (d_cell.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype), d_t)
@@ -1294,13 +1320,9 @@ def _make_fused_encode(scales, nbs, hashed, rows_n, offsets, total_rows: int,
         d_table = _scatter_rows(rows.reshape(-1), upd.reshape(-1, W),
                                 total_rows, adt, scatter_impl)
         h = feats * gout                                   # [N,L,W]
-
-        def lane_dot(a_, b_, c_):
-            return jnp.sum((h * a_ * b_ * c_).astype(jnp.float32), axis=-1)
-
-        d_frac = jnp.stack(
-            [lane_dot(dwx, wy, wz), lane_dot(wx, dwy, wz),
-             lane_dot(wx, wy, dwz)], axis=-1)               # [N,L,3]
+        d_frac = _axis_sum_matmul(
+            [h * dwx * wy * wz, h * wx * dwy * wz, h * wx * wy * dwz],
+            cdtype)                                         # [N,L,3]
         sc = jnp.asarray(scales, jnp.float32)
         d_x = jnp.sum(d_frac * sc[None, :, None] * ok, axis=1)
         return (d_table.astype(jnp.dtype(table_dtype_name)),
@@ -1529,16 +1551,14 @@ def _make_level_encode_4d(scale: float, nb: int, hashed: bool, n_rows: int,
             ws64.append(w1)
             dws64.append(dw1)
         w64_row = ws64[0] * ws64[1] * ws64[2]
-
-        def lane_dot64(a_, b_, c_):
-            return jnp.sum((h64 * a_ * b_ * c_).astype(jnp.float32), axis=-1)
-
-        d_frac = jnp.stack(
-            [lane_dot64(dws64[0], ws64[1], ws64[2]),
-             lane_dot64(ws64[0], dws64[1], ws64[2]),
-             lane_dot64(ws64[0], ws64[1], dws64[2])], axis=-1)
+        # 3 axis sums + the keyframe time grad as ONE 4-column contraction
+        sums = _axis_sum_matmul(
+            [h64 * dws64[0] * ws64[1] * ws64[2],
+             h64 * ws64[0] * dws64[1] * ws64[2],
+             h64 * ws64[0] * ws64[1] * dws64[2],
+             t64 * w64_row], cdtype)
+        d_frac, d_tf = sums[:, :3], sums[:, 3]
         d_x = d_frac * jnp.float32(scale) * ok
-        d_tf = jnp.sum((t64 * w64_row).astype(jnp.float32), axis=-1)
         d_t = (d_tf * jnp.float32(K - 1)).reshape(t.shape).astype(t.dtype)
         return (d_flat.astype(jnp.dtype(table_dtype_name)),
                 d_x.astype(x.dtype), d_t)
@@ -1595,7 +1615,9 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     fused_slices = {}
     if (not spec.time_keyframes and use_custom_vjp
             and spec.row_layout == "cellfused"):
-        h_lvls = [lvl for lvl, lay in enumerate(layouts) if lay["hashed"]]
+        h_lvls = [lvl for lvl, lay in enumerate(layouts)
+                  if lay["hashed"]
+                  and lay["rows"] * CELLS_PER_BRICK <= spec.cell_rows_cap]
         if h_lvls:
             cells, offsets = [], []
             off = 0
@@ -1627,8 +1649,11 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             if lvl in fused_slices:
                 outs.append(fused_slices[lvl])
                 continue
+            zp = ZROWS_PER_BRICK if spec.row_layout == "cellz" \
+                else CELLS_PER_BRICK
             if (lay["hashed"] and use_custom_vjp
-                    and spec.row_layout in ("cell", "cellz")):
+                    and spec.row_layout in ("cell", "cellz")
+                    and lay["rows"] * zp <= spec.cell_rows_cap):
                 # expand in compute dtype: the gathered rows are cast there
                 # anyway, and a bf16 expansion matmul runs at full MXU rate
                 # (the fold back to the f32 master runs through astype's
@@ -1686,8 +1711,9 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
                 .reshape(nb3, k * spec.row_width)
             )
         flat = table.reshape(-1, spec.row_width)  # [(rows*K), 64F]
-        if use_custom_vjp and spec.row_layout in ("cell", "cellfused",
-                                                  "cellz"):
+        if (use_custom_vjp and spec.row_layout in ("cell", "cellfused",
+                                                   "cellz")
+                and lay["rows"] * k * CELLS_PER_BRICK <= spec.cell_rows_cap):
             # no cross-level fusion for keyframe levels (two gathers/sample
             # with per-sample keyframe offsets); cellfused/cellz == cell here
             cell4 = _expand_cell_table(flat.astype(compute_dtype), f)

@@ -80,6 +80,8 @@ class HashGridSpec:
     remat_feats: bool = False
     # brick-impl hashed-level hot-row layout (see BrickGridSpec.row_layout)
     row_layout: str = "brick"
+    # per-level cell-layout row guard (see BrickGridSpec.cell_rows_cap)
+    cell_rows_cap: int = 524288
 
     @property
     def log_b(self) -> float:

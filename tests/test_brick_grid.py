@@ -565,3 +565,59 @@ def test_cell_row_layout_matches_brick_4d():
     for kk in gp_b:
         np.testing.assert_allclose(np.asarray(gp_c[kk]), np.asarray(gp_b[kk]),
                                    rtol=1e-4, atol=1e-5, err_msg=kk)
+
+
+def test_cell_rows_cap_falls_back_to_brick_per_level():
+    """Levels whose cell table would exceed cell_rows_cap keep the brick
+    layout (the v5e big-table scatter guard) — outputs and grads must
+    still match the all-brick run, and a tiny cap must reproduce
+    row_layout='brick' exactly (all levels fall back)."""
+    import dataclasses
+
+    spec_b = BrickGridSpec(n_levels=5, n_features=4, base_res=8, max_res=256,
+                           log2_hashmap_size=12, max_table_rows=512)
+    # cap chosen between the levels' cell-table sizes: hashed levels at
+    # 512 rows make 13824-row cell tables -> a 14000 cap keeps them on
+    # cell; smaller dense-ish hashed levels stay under it either way
+    spec_mixed = dataclasses.replace(spec_b, row_layout="cell",
+                                     cell_rows_cap=14000)
+    spec_allback = dataclasses.replace(spec_b, row_layout="cell",
+                                       cell_rows_cap=1)
+
+    rng = np.random.default_rng(3)
+    params = {
+        name: jnp.asarray(rng.normal(0, 0.1, shape), jnp.float32)
+        for name, shape in spec_b.param_shapes()
+    }
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(0, 1, (256, spec_b.output_dim)), jnp.float32)
+
+    def run(spec):
+        def loss(p, xx):
+            out = brick_encode(xx, p, spec, compute_dtype=jnp.float32)
+            return jnp.sum(out * cot)
+
+        out = brick_encode(x, params, spec, compute_dtype=jnp.float32)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+        return out, gp, gx
+
+    out_b, gp_b, gx_b = run(spec_b)
+    for spec in (spec_mixed, spec_allback):
+        out_m, gp_m, gx_m = run(spec)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_b),
+                                   rtol=1e-4, atol=1e-5)
+        for k in gp_b:
+            np.testing.assert_allclose(np.asarray(gp_m[k]),
+                                       np.asarray(gp_b[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+    # the cap=1 run must hit the brick path for every level: its jaxpr
+    # should contain no 27-cell expansion dot (proxy: identical to brick
+    # path timings is unobservable here, so assert via expanded-table
+    # absence in the lowered text)
+    import jax as _jax
+
+    low = _jax.jit(lambda p, xx: brick_encode(
+        xx, p, spec_allback, compute_dtype=jnp.float32)).lower(params, x)
+    assert "13824" not in low.as_text()

@@ -218,9 +218,46 @@ def k10(interpret):
     _shipped(interpret, w=32)
 
 
+# Session-13 verdict: deterministic 500s on bf16 rows (k7), 4096-program
+# grids (k9), and 32-lane rows (k10); f32 + W=128 + small grids pass
+# (k4/k5/k8). k11-k14 map the usable envelope for a fused-encoder kernel:
+def k11(interpret):
+    """bf16[R,256] rows DMA'd as their bit-identical f32[R,128] view —
+    the bitcast workaround that would let bf16 brick tables use row DMA."""
+    from cednerf_tpu.ops.pallas_gather import dma_gather
+    key = jax.random.PRNGKey(0)
+    t16 = jax.random.normal(key, (R, 256), jnp.float32).astype(jnp.bfloat16)
+    t32 = jax.lax.bitcast_convert_type(
+        t16.reshape(R, 128, 2), jnp.float32).reshape(R, 128)
+    idx = jax.random.randint(key, (N,), 0, R, jnp.int32)
+    if interpret:
+        return
+    out32 = dma_gather(t32, idx, tile=TILE, depth=4)
+    out16 = jax.lax.bitcast_convert_type(
+        out32.reshape(N, 128, 1), jnp.bfloat16).reshape(N, 256)
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(t16, np.float32)[np.asarray(idx)])
+
+
+def k12(interpret):
+    """1024-program grid (f32, W=128)."""
+    _shipped(interpret, n=262144)
+
+
+def k13(interpret):
+    """2048-program grid."""
+    _shipped(interpret, n=524288)
+
+
+def k14(interpret):
+    """1M rows via 512 programs of tile=2048 — the realistic config."""
+    _shipped(interpret, n=1 << 20, tile=2048)
+
+
 RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
          "k4_loop_dma", "k5_pipelined", "k6_shipped", "k7_bf16",
-         "k8_bigtable", "k9_bign", "k10_w32"]
+         "k8_bigtable", "k9_bign", "k10_w32", "k11_bitcast",
+         "k12_grid1024", "k13_grid2048", "k14_tile2048"]
 
 
 def run_one(name, interpret):
