@@ -31,6 +31,9 @@ runT() {
 
 echo "=== session14 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 
+# 0. DMA-envelope bisect (k11 bitcast / k12-k14 grid scaling)
+runT 3600 bisect3 python tools/bisect_pallas.py
+
 # 1. the promoted default on the new code (vs 2.960M on the old)
 runT 2400 confirm_bench python bench.py
 
