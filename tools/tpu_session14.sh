@@ -37,6 +37,13 @@ runT 3600 bisect3 python tools/bisect_pallas.py
 # 1. the promoted default on the new code (vs 2.960M on the old)
 runT 2400 confirm_bench python bench.py
 
+# 1b. cap=262144: the W=32 scatter curve jumps 9->98 ns/row between
+#     262k and 1M table rows; if 442k-row fine cell tables already sit in
+#     the degrading band, pushing JUST the fine levels back to brick
+#     (16384-row W=256 scatters, ~10.8 ns/row) wins
+runT 2400 bench_cell_cap262k env CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 512, "cell_rows_cap": 262144}' \
+    python bench.py
+
 # 2. attribution trace: the convert_reduce block (~59 ms) must be gone
 runT 2400 trace_default2 python tools/profile_trace.py \
     --cfg '{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 512}' \
