@@ -99,6 +99,56 @@ def compact_select(valid, budget: int, n_blocks: int = 1):
     return sel, write_b.reshape(r, m), rank_b.reshape(r, m)
 
 
+def compact_select_rayfold(valid, budget: int):
+    """compact_select (single block) without any lattice-sized sequential op.
+
+    The original form pays two ops proportional to the R*M candidate
+    lattice (~8x the budget at steady-state occupancy): a flat [R*M]
+    cumsum and a scatter with R*M source rows (~40 ms/step at the 1M-budget
+    bench shapes, trace 2026-08-19). This form folds the lattice's minor
+    axis into lanes and inverts the compaction by GATHER per budget slot:
+
+      * per-ray valid counts/ranks come from a lane-axis cumsum ([R, M],
+        vectorized — no sequential scan);
+      * global ray offsets from an [R]-sized cumsum;
+      * each ray's kept lane positions from a stable lane argsort (the
+        same [R, M] form pack_candidates uses);
+      * sel[b] for each of the `budget` output slots by two 1M-row
+        gathers (slot -> owning ray via a delta scatter of R rows + one
+        [budget] cumsum; slot -> lane via the argsort table).
+
+    Sequential/scatter work drops from R*M rows to R + budget rows.
+    Bit-identical outputs to compact_select(valid, budget, n_blocks=1)
+    (tests/test_renderer.py::test_compact_select_rayfold_parity).
+    """
+    r, m = valid.shape
+    n = r * m
+    inc = jnp.cumsum(valid.astype(jnp.int32), axis=-1)       # [R, M] lanes
+    counts_all = inc[:, -1]                                  # [R]
+    ray_start = jnp.cumsum(counts_all) - counts_all          # [R] exclusive
+    rank = ray_start[:, None] + inc - 1                      # [R, M]
+    kept = valid & (rank < budget)
+    # lane index of each ray's i-th valid candidate (valid lanes first,
+    # original order preserved)
+    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
+    # slot -> owning ray: +1 at every ray's (clamped) start, cumsum, -1.
+    # Zero-count rays share their start with the next ray; the trailing
+    # (largest) ray index at a shared start is the one that owns the slots.
+    starts_c = jnp.minimum(ray_start, budget).astype(jnp.int32)
+    ray_id = jnp.cumsum(
+        jnp.zeros((budget,), jnp.int32).at[starts_c].add(
+            1, mode="drop")) - 1                             # [B]
+    slot_start = jnp.take(starts_c, ray_id)                  # [B]
+    lane = jnp.take(
+        order.reshape(-1),
+        ray_id * m + (jnp.arange(budget, dtype=jnp.int32) - slot_start),
+    )
+    total = jnp.minimum(jnp.sum(counts_all), budget)
+    used = jnp.arange(budget, dtype=jnp.int32) < total
+    sel = jnp.where(used, ray_id * m + lane, n)
+    return sel, kept
+
+
 def _ray_info(origins, viewdirs, timestamps):
     """[R, 7] per-ray slot-gather source: origin | viewdir | timestamp."""
     r = origins.shape[0]
@@ -113,6 +163,8 @@ def _compact_sel_kept(valid, budget: int, n_blocks: int, impl: str):
     when its preconditions hold (single block, lattice < 2^24); it is
     bit-compatible with the XLA path.
     """
+    if impl == "rayfold" and n_blocks == 1:
+        return compact_select_rayfold(valid, budget)
     if impl == "pallas" and n_blocks == 1 and budget <= (2 << 20):
         r, m = valid.shape
         if r * m < (1 << 24) and (r * m) % 8 == 0:

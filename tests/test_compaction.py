@@ -8,6 +8,8 @@ incomplete) when not, and keep gradients identical to the dense path."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import jax.random as jr
+import pytest
 
 from cednerf_tpu.engine.renderer import (compact_select, render_rays,
                                          render_rays_budget)
@@ -349,3 +351,32 @@ def test_uniform_dt_outlier_tmin_ray_does_not_corrupt_neighbors():
     np.testing.assert_allclose(np.asarray(ps_c.pos)[m],
                                np.asarray(ps_g.pos)[m],
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("r,m,budget,p", [
+    (64, 128, 2048, 0.3),    # typical steady state
+    (64, 128, 2048, 0.02),   # nearly empty
+    (32, 256, 1024, 0.9),    # heavy overflow (budget < demand)
+    (24, 96, 512, 0.5),      # odd lattice
+    (16, 128, 4096, 0.0),    # none valid
+    (16, 128, 1024, 1.0),    # all valid, exact fit at budget boundary
+])
+def test_compact_select_rayfold_bit_exact(r, m, budget, p):
+    from cednerf_tpu.engine.renderer import compact_select_rayfold
+    valid = jr.uniform(jr.PRNGKey(r * m + budget), (r, m)) < p
+    sel_x, kept_x, _ = compact_select(valid, budget)
+    sel_f, kept_f = compact_select_rayfold(valid, budget)
+    np.testing.assert_array_equal(np.asarray(sel_f), np.asarray(sel_x))
+    np.testing.assert_array_equal(np.asarray(kept_f), np.asarray(kept_x))
+
+
+def test_compact_select_rayfold_zero_count_ray_runs():
+    # consecutive zero-count rays sharing a start must not steal slots
+    from cednerf_tpu.engine.renderer import compact_select_rayfold
+    valid = jnp.zeros((8, 16), bool)
+    valid = valid.at[0, 3].set(True).at[0, 7].set(True)
+    valid = valid.at[5, 0].set(True)   # rays 1-4 are empty
+    sel_x, kept_x, _ = compact_select(valid, 64)
+    sel_f, kept_f = compact_select_rayfold(valid, 64)
+    np.testing.assert_array_equal(np.asarray(sel_f), np.asarray(sel_x))
+    np.testing.assert_array_equal(np.asarray(kept_f), np.asarray(kept_x))
