@@ -1,0 +1,150 @@
+"""Round-3 fused encoder forward: per-row DMA gather + all-levels interp.
+
+The 2026-08-19/20 measurement campaign (docs/PERF_PLAN.md) established:
+
+  * the encoder is ~75% of the train step and every XLA-level layout /
+    row-width / fusion arrangement is exhausted (sessions 6-13);
+  * a Pallas kernel only pays on v5e when ONE boundary replaces many ops
+    (per-level kernels measured as in-program losses: the pallas_call
+    boundary forces [N, 64F] intermediates through HBM that XLA would
+    have fused away);
+  * the tunnel's remote Mosaic compiler accepts per-row DMA only inside
+    a narrow envelope — f32 rows, 128-lane multiples, modest grids
+    (tools/bisect_pallas.py k4/k5/k8 PASS; bf16 rows k7, 32-lane rows
+    k10, 4096-program grids k9 CRASH it).
+
+This kernel is the one shape that clears both bars: ONE pallas_call for
+the whole multi-resolution encode — L per-sample row DMAs (depth-
+pipelined, HBM -> VMEM scratch) + compare-built trilinear lane math +
+corner reduction, per sample tile. The [N, 64F] gathered-row arrays never
+exist in HBM; XLA sees x, L row-index vectors, L tables in, and the
+packed [N, L*F] feature block out.
+
+Reference role: tiny-cuda-nn's fully-fused HashGrid encoding
+(model.py:242-252; math spec hash_encoder_half.py:66-160) — the gather
+inner loop is the measured-on-silicon DMA pipeline from
+ops/pallas_gather.py, the lane math is ops/pallas_encoder.py's.
+
+Tables are f32 at full row width (64F lanes). The brick params are bf16;
+the caller converts once per step (one 8 MB copy per level, ~20 us) —
+f32 rows are a compiler-envelope requirement (bf16 row DMA crashes the
+remote Mosaic build, bisect k7), not a numerics choice.
+"""
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cednerf_tpu.ops.pallas_encoder import (
+    _default_interpret,
+    _lane_axis_index,
+    _lane_weights,
+    _reduce_corners,
+)
+
+CORNERS_PER_BRICK = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...],
+                     n_feat: int, n: int, tile: int, depth: int,
+                     dtype_name: str, out_dtype_name: str,
+                     interpret: bool = False):
+    """(rows [L, N] i32, x [N, 3] f32, L x table f32[R_l, 64F]) -> [N, L*F]."""
+    L = len(scales)
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+    cdtype = jnp.dtype(dtype_name)
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def kernel(rows_ref, x_ref, *refs):
+        tables = refs[:L]
+        out_ref = refs[L]
+        feat_scr = refs[L + 1]
+        sems = refs[L + 2]
+
+        lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
+        for lvl in range(L):
+            # depth-pipelined per-row DMA: table_l[rows[l, j]] -> scratch[j]
+            def copy(j, lvl=lvl):
+                return pltpu.make_async_copy(
+                    tables[lvl].at[pl.ds(rows_ref[lvl, j], 1), :],
+                    feat_scr.at[pl.ds(j, 1), :],
+                    sems.at[j % depth],
+                )
+
+            def body(j, c):
+                @pl.when(j >= depth)
+                def _():
+                    copy(j - depth).wait()
+
+                copy(j).start()
+                return c
+
+            jax.lax.fori_loop(0, tile, body, 0)
+
+            def tail(j, c):
+                copy(tile - depth + j).wait()
+                return c
+
+            jax.lax.fori_loop(0, depth, tail, 0)
+
+            ws, _, _ = _lane_weights(x_ref[...], scales[lvl], nbs[lvl],
+                                     lane_idx, cdtype, False)
+            lanes = ws[0] * ws[1] * ws[2]
+            prod = feat_scr[...].astype(cdtype) * lanes
+            out = _reduce_corners(prod.astype(jnp.float32), F)
+            out_ref[:, lvl * F:(lvl + 1) * F] = out.astype(out_ref.dtype)
+
+    grid = (n // tile,)
+    in_specs = [
+        # row indices as an SMEM block (DMA source offsets must be scalars;
+        # scalar-prefetching [L, N] would not fit SMEM at the bench N)
+        pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)]
+    out_specs = pl.BlockSpec((tile, L * F), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    def run(rows, x, tables):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=jax.ShapeDtypeStruct((n, L * F), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tile, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+            interpret=interpret,
+        )(rows, x, *tables)
+
+    return run
+
+
+def fused_encode_fwd(x, tables: Sequence[jnp.ndarray], rows,
+                     scales: Sequence[float], nbs: Sequence[int],
+                     n_feat: int, compute_dtype=jnp.bfloat16,
+                     out_dtype=None, tile: int = 512, depth: int = 8,
+                     interpret=None):
+    """All-levels brick encode with in-kernel row gather.
+
+    x: [N, 3] unit-cube positions; tables: L x f32[R_l, 64F] brick tables
+    (f32 row DMA is the compiler envelope — bf16 params must be converted
+    by the caller); rows: [L, N] int32 per-level brick row indices
+    (brick_grid._level_geom math, computed in XLA where 1-D ops are ~free).
+    Returns [N, L*F] features, bit-matching the gather+interp_fwd path.
+    """
+    n = x.shape[0]
+    assert n % tile == 0, (n, tile)
+    out_dtype = out_dtype or compute_dtype
+    run = _build_fused_fwd(
+        tuple(float(s) for s in scales), tuple(int(b) for b in nbs),
+        int(n_feat), n, tile, depth, jnp.dtype(compute_dtype).name,
+        jnp.dtype(out_dtype).name, _default_interpret(interpret))
+    return run(rows.astype(jnp.int32), x.astype(jnp.float32), list(tables))

@@ -254,10 +254,73 @@ def k14(interpret):
     _shipped(interpret, n=1 << 20, tile=2048)
 
 
+def k15(interpret):
+    """ops/pallas_fused.py fused_encode_fwd at toy shapes — the round-3
+    kernel's full structural feature set in one rung: SMEM row-index
+    blocks, multiple ANY-space tables, f32 W=256 row DMA, narrow
+    (L*F-lane) output blocks, interleaved DMA + lane math."""
+    import math
+    from cednerf_tpu.ops import brick_grid as bg
+    from cednerf_tpu.ops.pallas_fused import fused_encode_fwd
+    key = jax.random.PRNGKey(0)
+    n, levels, F = 1024, 4, 4
+    base_res, max_res = 16, 256
+    log_b = math.log(max_res / base_res) / (levels - 1)
+    x = jax.random.uniform(jax.random.fold_in(key, 99), (n, 3))
+    scales, nbs, tables, rows_l = [], [], [], []
+    for lvl in range(levels):
+        scale = bg.level_scale(lvl, log_b, base_res)
+        nb = max(1, int(np.ceil((np.ceil(scale) + 1) / bg.BRICK_CELLS)))
+        hashed = lvl >= 2
+        n_rows = 512 if hashed else nb ** 3
+        rows, _, _, _ = bg._level_geom(x, scale, nb, hashed, n_rows)
+        tables.append(jax.random.normal(jax.random.fold_in(key, lvl),
+                                        (n_rows, 64 * F), jnp.float32))
+        scales.append(float(scale))
+        nbs.append(nb)
+        rows_l.append(rows)
+    rows = jnp.stack(rows_l, 0)
+    got = fused_encode_fwd(x, tables, rows, scales, nbs, F, tile=256,
+                           depth=4, interpret=interpret or None)
+    # numeric parity is CPU-tested (tests/test_pallas_fused.py); this rung
+    # answers compile+run on the remote Mosaic build
+    np.asarray(got[:8])
+
+
+def k16(interpret):
+    """fused_encode_fwd at bench-like scale: 8 levels, 16384-row hashed
+    tables, 262k samples, tile=512 (512-program grid)."""
+    import math
+    from cednerf_tpu.ops import brick_grid as bg
+    from cednerf_tpu.ops.pallas_fused import fused_encode_fwd
+    key = jax.random.PRNGKey(0)
+    n, levels, F = 1 << 18, 8, 4
+    base_res, max_res = 16, 1024
+    log_b = math.log(max_res / base_res) / (levels - 1)
+    x = jax.random.uniform(jax.random.fold_in(key, 99), (n, 3))
+    scales, nbs, tables, rows_l = [], [], [], []
+    for lvl in range(levels):
+        scale = bg.level_scale(lvl, log_b, base_res)
+        nb = max(1, int(np.ceil((np.ceil(scale) + 1) / bg.BRICK_CELLS)))
+        hashed = nb ** 3 > 16384
+        n_rows = 16384 if hashed else nb ** 3
+        rows, _, _, _ = bg._level_geom(x, scale, nb, hashed, n_rows)
+        tables.append(jax.random.normal(jax.random.fold_in(key, lvl),
+                                        (n_rows, 64 * F), jnp.float32))
+        scales.append(float(scale))
+        nbs.append(nb)
+        rows_l.append(rows)
+    rows = jnp.stack(rows_l, 0)
+    got = fused_encode_fwd(x, tables, rows, scales, nbs, F, tile=512,
+                           depth=8, interpret=interpret or None)
+    np.asarray(got[:8])
+
+
 RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
          "k4_loop_dma", "k5_pipelined", "k6_shipped", "k7_bf16",
          "k8_bigtable", "k9_bign", "k10_w32", "k11_bitcast",
-         "k12_grid1024", "k13_grid2048", "k14_tile2048"]
+         "k12_grid1024", "k13_grid2048", "k14_tile2048",
+         "k15_fusedtoy", "k16_fusedbench"]
 
 
 def run_one(name, interpret):
