@@ -57,13 +57,13 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="encoder table-grad scatter impl "
                              "(engine/config.py)")
     parser.add_argument("--interp_impl", type=str, default=None,
-                        choices=["xla", "pallas"],
+                        choices=["xla", "pallas", "dma"],
                         help="encoder interpolation impl (engine/config.py)")
     parser.add_argument("--fine_table_rows", type=int, default=None,
                         help="fine-level (>=5) brick-table rows (e.g. 65536;"
                              " cuts fine-level hash aliasing at HBM cost)")
     parser.add_argument("--compact_impl", type=str, default=None,
-                        choices=["xla", "pallas"],
+                        choices=["xla", "pallas", "rayfold"],
                         help="budget-compaction impl (engine/config.py)")
     parser.add_argument("--max_table_rows", type=int, default=None,
                         help="brick-encoder per-level table-row cap "

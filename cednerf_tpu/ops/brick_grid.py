@@ -99,10 +99,13 @@ class BrickGridSpec:
     # fall back when their shape preconditions fail (see _scatter_rows).
     scatter_impl: str = "xla"
     # interpolation implementation: "xla" (per-level lane math fused by the
-    # XLA compiler) or "pallas" (all levels' forward lane math in ONE
+    # XLA compiler), "pallas" (all levels' forward lane math in ONE
     # Pallas kernel, ops/pallas_encoder.py interp_fwd, with the per-level
-    # fused backward kernels for the table grads; 3D specs only, falls
-    # back to "xla" when shape preconditions fail)
+    # fused backward kernels for the table grads), or "dma" (round-3: the
+    # forward's row gathers AND interp run inside one kernel with
+    # depth-pipelined per-row DMAs, ops/pallas_fused.py — gathered rows
+    # never touch HBM; brick row_layout only). 3D specs only; all fall
+    # back to "xla" when shape preconditions fail
     interp_impl: str = "xla"
     # Recompute the gathered brick rows in the backward instead of saving
     # them as VJP residuals. The residuals cost N * 64F * 2 B * n_levels of
@@ -1364,28 +1367,40 @@ def brick_encode_fused(x, params, spec: BrickGridSpec,
 @functools.lru_cache(maxsize=None)
 def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
                         dtype_name: str, table_dtype_name: str,
-                        accum_dtype_name: str, remat_feats: bool = False):
+                        accum_dtype_name: str, remat_feats: bool = False,
+                        fwd_kind: str = "gather"):
     """Analytic custom-VJP multi-level encode on the Pallas kernels.
 
-    Forward: per-level XLA row gathers (the best row primitive on v5e)
-    feeding ONE all-levels interpolation kernel (pallas_encoder.interp_fwd).
-    Backward: one fused kernel per level (interp_bwd_fused) — lane math +
-    VMEM-resident table-grad accumulator, no [N, 64F] update rows in HBM
-    and no XLA scatters. Same math as the per-level XLA path
-    (gated by tests/test_pallas_encoder.py).
+    Forward: fwd_kind="gather" — per-level XLA row gathers feeding ONE
+    all-levels interpolation kernel (pallas_encoder.interp_fwd);
+    fwd_kind="dma" — the round-3 fully fused kernel
+    (pallas_fused.fused_encode_fwd): in-kernel depth-pipelined row DMAs
+    + interp, so the [N, 64F] gathered-row arrays never exist in HBM
+    (tables are fed as f32 rows — the remote-compiler DMA envelope).
+    Backward (both): one fused kernel per level (interp_bwd_fused) — lane
+    math + VMEM-resident table-grad accumulator, no [N, 64F] update rows
+    in HBM and no XLA scatters. Same math as the per-level XLA path
+    (gated by tests/test_pallas_encoder.py, tests/test_pallas_fused.py).
     """
     from . import pallas_encoder as pe
     cdtype = jnp.dtype(dtype_name)
     F = n_feat
     L = len(scales)
 
+    def _rows_all(x):
+        return [_level_geom(x, scales[lvl], nbs[lvl], hasheds[lvl],
+                            rows_n[lvl])[0] for lvl in range(L)]
+
     def fwd_impl(tables, x):
-        feats, rows_l = [], []
-        for lvl in range(L):
-            rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
-                                        hasheds[lvl], rows_n[lvl])
-            feats.append(jnp.take(tables[lvl].astype(cdtype), rows, axis=0))
-            rows_l.append(rows)
+        rows_l = _rows_all(x)
+        if fwd_kind == "dma":
+            from .pallas_fused import fused_encode_fwd
+            out = fused_encode_fwd(
+                x, [t.astype(jnp.float32) for t in tables],
+                jnp.stack(rows_l, 0), scales, nbs, F, compute_dtype=cdtype)
+            return out, None, tuple(rows_l)
+        feats = [jnp.take(tables[lvl].astype(cdtype), rows_l[lvl], axis=0)
+                 for lvl in range(L)]
         out = pe.interp_fwd(x, feats, scales, nbs, F, compute_dtype=cdtype)
         return out, tuple(feats), tuple(rows_l)
 
@@ -1394,14 +1409,34 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         return fwd_impl(tables, x)[0]
 
     def fwd(tables, x):
-        if remat_feats:
+        if remat_feats or fwd_kind == "dma":
             # keep only (x, tables): rows + gathered feats are re-derived
             # in the backward — per-sample residuals bind at 2-4M budgets
+            # (the dma forward never materializes feats at all)
             return fwd_impl(tables, x)[0], (x, tables)
         out, feats, rows_l = fwd_impl(tables, x)
         return out, (x, feats, rows_l)
 
     def bwd(res, g):
+        adt = jnp.dtype(accum_dtype_name)
+        tdt = jnp.dtype(table_dtype_name)
+        if fwd_kind == "dma":
+            # in-kernel re-gather: neither feats nor update rows ever
+            # exist in HBM (ops/pallas_fused.fused_encode_bwd)
+            from .pallas_fused import fused_encode_bwd
+            x, tables = res
+            d_tables, d_x = [], jnp.zeros((), jnp.float32)
+            for lvl in range(L):
+                rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
+                                            hasheds[lvl], rows_n[lvl])
+                dt, dx = fused_encode_bwd(
+                    x, g[:, lvl * F:(lvl + 1) * F], rows,
+                    tables[lvl].astype(jnp.float32),
+                    scale=scales[lvl], nb=nbs[lvl], n_rows=rows_n[lvl],
+                    n_feat=F, compute_dtype=cdtype, accum_dtype=adt)
+                d_tables.append(dt.astype(tdt))
+                d_x = d_x + dx
+            return tuple(d_tables), d_x.astype(x.dtype)
         if remat_feats:
             x, tables = res
             feats, rows_l = [], []
@@ -1413,8 +1448,6 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
                 rows_l.append(rows)
         else:
             x, feats, rows_l = res
-        adt = jnp.dtype(accum_dtype_name)
-        tdt = jnp.dtype(table_dtype_name)
         d_tables, d_x = [], jnp.zeros((), jnp.float32)
         for lvl in range(L):
             dt, dx = pe.interp_bwd_fused(
@@ -1585,9 +1618,10 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     k = spec.keyframes
     layouts = spec.level_layout()
 
-    if (use_custom_vjp and spec.interp_impl == "pallas"
+    if (use_custom_vjp and spec.interp_impl in ("pallas", "dma")
             and spec.row_layout == "brick"
-            and _pallas_route_ok(spec, n, layouts)):
+            and _pallas_route_ok(spec, n, layouts)
+            and (spec.interp_impl != "dma" or n % 512 == 0)):
         tables = tuple(
             params[f"bricks_{lvl}"] if lay["hashed"]
             else _materialize_dense_bricks(params[f"grid_{lvl}"],
@@ -1600,7 +1634,8 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
             tuple(bool(lay["hashed"]) for lay in layouts),
             tuple(lay["rows"] for lay in layouts), f,
             jnp.dtype(compute_dtype).name, tables[0].dtype.name,
-            spec.grad_accum_dtype, spec.remat_feats)
+            spec.grad_accum_dtype, spec.remat_feats,
+            fwd_kind="dma" if spec.interp_impl == "dma" else "gather")
         return enc(tables, x)
 
     if spec.time_keyframes:

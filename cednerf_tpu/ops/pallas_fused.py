@@ -148,3 +148,140 @@ def fused_encode_fwd(x, tables: Sequence[jnp.ndarray], rows,
         int(n_feat), n, tile, depth, jnp.dtype(compute_dtype).name,
         jnp.dtype(out_dtype).name, _default_interpret(interpret))
     return run(rows.astype(jnp.int32), x.astype(jnp.float32), list(tables))
+
+
+# --------------------------------------------------------------------- #
+# DMA backward: the round-1 fused backward (pallas_encoder.
+# interp_bwd_fused — lane math + VMEM-resident table-grad accumulator)
+# lost in-program because its [N, 64F] feats operand (the XLA re-gather
+# under remat) still crossed the kernel boundary through HBM. This
+# variant re-gathers the rows in-kernel with the same depth-pipelined
+# DMA as the forward, so the boundary carries only (rows, x, g) in and
+# (d_table, d_x) out.
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_bwd(scale: float, nb: int, n_rows: int, n_feat: int,
+                     n: int, tile: int, depth: int, dtype_name: str,
+                     accum_dtype_name: str, interpret: bool = False):
+    """(rows [N] i32, x [N,3], g [N,F], table f32[R, 64F])
+    -> (d_table [R_pad, 64F] accum_dtype, d_x [N, 3] f32)."""
+    from cednerf_tpu.ops.pallas_scatter import accum_rows_aligned
+
+    F = n_feat
+    W = CORNERS_PER_BRICK * F
+    cdtype = jnp.dtype(dtype_name)
+    adt = jnp.dtype(accum_dtype_name)
+    n_rows_pad = -(-n_rows // 8) * 8
+
+    def kernel(rows_s_ref, x_ref, g_ref, table_ref, out_ref, dx_ref,
+               feat_scr, upd_scr, sems):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # in-kernel re-gather: table[rows[j]] -> feat_scr[j]
+        def copy(j):
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(rows_s_ref[j // 8, j % 8], 1), :],
+                feat_scr.at[pl.ds(j, 1), :],
+                sems.at[j % depth],
+            )
+
+        def body(j, c):
+            @pl.when(j >= depth)
+            def _():
+                copy(j - depth).wait()
+
+            copy(j).start()
+            return c
+
+        jax.lax.fori_loop(0, tile, body, 0)
+
+        def tail(j, c):
+            copy(tile - depth + j).wait()
+            return c
+
+        jax.lax.fori_loop(0, depth, tail, 0)
+
+        lane_idx = [_lane_axis_index(a, F, tile) for a in range(3)]
+        ws, dws, oks = _lane_weights(x_ref[...], scale, nb, lane_idx,
+                                     cdtype, True)
+        g_t = g_ref[...].astype(cdtype)
+        gout = pltpu.repeat(g_t, CORNERS_PER_BRICK, axis=1)
+        wyz = ws[1] * ws[2]
+        lanes = ws[0] * wyz
+        upd_scr[...] = (lanes * gout).astype(adt)
+
+        h = feat_scr[...].astype(cdtype) * gout
+        sc = jnp.float32(scale)
+        d0 = jnp.sum((h * (dws[0] * wyz)).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 0:1] * sc
+        d1 = jnp.sum((h * (ws[0] * dws[1] * ws[2])).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 1:2] * sc
+        d2 = jnp.sum((h * (ws[0] * ws[1] * dws[2])).astype(jnp.float32),
+                     axis=-1, keepdims=True) * oks[:, 2:3] * sc
+        dx_ref[...] = jnp.concatenate([d0, d1, d2], axis=1)
+
+        accum_rows_aligned(out_ref, rows_s_ref, upd_scr, tile)
+
+    grid = (n // tile,)
+
+    def run(rows, x, g, table):
+        d_table, d_x = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile // 8, 8), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, F), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((n_rows_pad, W), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_rows_pad, W), adt),
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tile, W), jnp.float32),
+                pltpu.VMEM((tile, W), adt),
+                pltpu.SemaphoreType.DMA((depth,)),
+            ],
+            interpret=interpret,
+        )(rows.astype(jnp.int32).reshape(n // 8, 8),
+          x.astype(jnp.float32), g, table)
+        return d_table[:n_rows], d_x
+
+    return run
+
+
+def fused_encode_bwd(x, g, rows, table, *, scale: float, nb: int,
+                     n_rows: int, n_feat: int,
+                     compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32,
+                     tile: int = 256, depth: int = 8, interpret=None):
+    """Single-level fused backward with in-kernel row re-gather.
+
+    x: [N,3]; g: [N,F] cotangent; rows: [N] gather indices; table:
+    f32[n_rows, 64F] (the forward's DMA view — f32 rows are the
+    compiler envelope). Returns (d_table [n_rows, 64F] accum_dtype,
+    d_x [N,3] f32). Math identical to pallas_encoder.interp_bwd_fused,
+    minus the [N, 64F] feats operand.
+    """
+    n = x.shape[0]
+    assert n % tile == 0, (n, tile)
+    run = _build_fused_bwd(float(scale), int(nb), int(n_rows), int(n_feat),
+                           n, tile, depth, jnp.dtype(compute_dtype).name,
+                           jnp.dtype(accum_dtype).name,
+                           _default_interpret(interpret))
+    return run(rows, x, g.astype(jnp.dtype(compute_dtype)), table)

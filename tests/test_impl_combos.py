@@ -47,6 +47,7 @@ def _loss(scat, interp, seg, compact="xla", row_layout="brick"):
     ("fused", "pallas", 8, "pallas"),
     ("pallas", "xla", 0, "pallas"),
     ("xla", "xla", 0, "rayfold"),
+    ("fused", "dma", 0, "xla"),
 ])
 def test_impl_combo_matches_xla_baseline(scat, interp, seg, compact):
     ref = _loss("xla", "xla", seg)

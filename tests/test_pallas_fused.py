@@ -55,6 +55,34 @@ def test_fused_fwd_matches_gather_interp(n_feat):
                                rtol=0, atol=1e-2)
 
 
+@pytest.mark.parametrize("n_feat", [4])
+def test_fused_bwd_matches_interp_bwd_fused(n_feat):
+    """DMA backward == round-1 fused backward (same math, no feats operand)."""
+    from cednerf_tpu.ops.pallas_encoder import interp_bwd_fused
+    from cednerf_tpu.ops.pallas_fused import fused_encode_bwd
+
+    key = jax.random.PRNGKey(2)
+    n, levels = 1024, 3
+    x, scales, nbs, tables, rows = _level_setup(key, n, levels, n_feat)
+    g = jax.random.normal(jax.random.fold_in(key, 7), (n, n_feat),
+                          jnp.float32)
+    for lvl in range(levels):
+        feats = jnp.take(tables[lvl].astype(jnp.bfloat16), rows[lvl], axis=0)
+        want_dt, want_dx = interp_bwd_fused(
+            x, g, feats, rows[lvl], scale=scales[lvl], nb=nbs[lvl],
+            n_rows=tables[lvl].shape[0], n_feat=n_feat, tile=256,
+            interpret=True)
+        got_dt, got_dx = fused_encode_bwd(
+            x, g, rows[lvl], tables[lvl], scale=scales[lvl], nb=nbs[lvl],
+            n_rows=tables[lvl].shape[0], n_feat=n_feat, tile=256, depth=4,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_dt, np.float32),
+                                   np.asarray(want_dt, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_fused_fwd_f32_exact_vs_reference_sum():
     """f32 compute path vs a direct per-corner einsum reference."""
     key = jax.random.PRNGKey(1)

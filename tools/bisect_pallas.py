@@ -316,11 +316,31 @@ def k16(interpret):
     np.asarray(got[:8])
 
 
+def k17(interpret):
+    """fused_encode_bwd (DMA re-gather + VMEM accumulator) at bench-like
+    shapes: one 16384-row level, 262k samples, tile=256."""
+    import math
+    from cednerf_tpu.ops import brick_grid as bg
+    from cednerf_tpu.ops.pallas_fused import fused_encode_bwd
+    key = jax.random.PRNGKey(0)
+    n, F = 1 << 18, 4
+    scale, nb, n_rows = 341.0, 128, 16384
+    x = jax.random.uniform(jax.random.fold_in(key, 99), (n, 3))
+    rows, _, _, _ = bg._level_geom(x, scale, nb, True, n_rows)
+    table = jax.random.normal(key, (n_rows, 64 * F), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(key, 7), (n, F), jnp.float32)
+    dt, dx = fused_encode_bwd(x, g, rows, table, scale=scale, nb=nb,
+                              n_rows=n_rows, n_feat=F, tile=256, depth=8,
+                              accum_dtype=jnp.bfloat16,
+                              interpret=interpret or None)
+    np.asarray(dx[:8])
+
+
 RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
          "k4_loop_dma", "k5_pipelined", "k6_shipped", "k7_bf16",
          "k8_bigtable", "k9_bign", "k10_w32", "k11_bitcast",
          "k12_grid1024", "k13_grid2048", "k14_tile2048",
-         "k15_fusedtoy", "k16_fusedbench"]
+         "k15_fusedtoy", "k16_fusedbench", "k17_fusedbwd"]
 
 
 def run_one(name, interpret):

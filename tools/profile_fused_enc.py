@@ -102,6 +102,42 @@ def main():
             print(f"fused tile={tile:5d} depth={depth:3d}: {dt*1e3:8.2f} ms "
                   f"({n*L/dt/1e6:.0f} M rows/s incl. interp)", flush=True)
 
+    # backward arms: the round-1 fused bwd (XLA re-gather + feats operand)
+    # vs the DMA bwd (in-kernel re-gather) on one hashed level
+    from cednerf_tpu.ops.pallas_encoder import interp_bwd_fused
+    from cednerf_tpu.ops.pallas_fused import fused_encode_bwd
+    lvl = next(l for l in range(L) if tables[l].shape[0] == args.rows)
+    g1 = jax.random.normal(jax.random.fold_in(key, 7), (n, F), jnp.float32)
+
+    def bwd_r1(xq, gq, t, r):
+        feats = jnp.take(t.astype(jnp.bfloat16), r, axis=0)
+        return interp_bwd_fused(xq, gq, feats, r, scale=scales[lvl],
+                                nb=nbs[lvl], n_rows=t.shape[0], n_feat=F,
+                                accum_dtype=jnp.bfloat16)
+
+    try:
+        dt = timeit(jax.jit(bwd_r1), x, g1, tables[lvl], rows[lvl])
+        print(f"bwd_r1 (take + fused accum) x1 level: {dt*1e3:8.2f} ms",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bwd_r1 FAILED: {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+    for tile in (256, 512):
+        for depth in map(int, args.depths.split(",")):
+            try:
+                dt = timeit(
+                    lambda xq, gq, t, r: fused_encode_bwd(
+                        xq, gq, r, t, scale=scales[lvl], nb=nbs[lvl],
+                        n_rows=t.shape[0], n_feat=F, tile=tile,
+                        depth=depth, accum_dtype=jnp.bfloat16),
+                    x, g1, tables[lvl], rows[lvl])
+            except Exception as e:  # noqa: BLE001
+                print(f"bwd_dma tile={tile:5d} depth={depth:3d} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                continue
+            print(f"bwd_dma tile={tile:5d} depth={depth:3d}: "
+                  f"{dt*1e3:8.2f} ms x1 level", flush=True)
+
 
 if __name__ == "__main__":
     main()
