@@ -97,10 +97,12 @@ class SceneConfig:
     # scatter at one extra table-sized MXU expansion per level per step;
     # ops/brick_grid.py row_layout)
     row_layout: str = "brick"
-    # budget-compaction impl: "xla" (cumsum + unique-index scatter) or
-    # "pallas" (single-pass MXU compaction, ops/pallas_compact.py;
-    # bit-compatible, single-block only — falls back otherwise)
-    compact_impl: str = "xla"
+    # budget-compaction impl: "rayfold" (gather-inverted sel build —
+    # R+budget-row ops instead of the R*M-lattice cumsum+scatter;
+    # bit-exact, +3.5% end-to-end on v5e, single-block only — falls back
+    # otherwise), "xla" (lattice cumsum + unique-index scatter), or
+    # "pallas" (single-pass MXU compaction, ops/pallas_compact.py)
+    compact_impl: str = "rayfold"
     # per-slot assembly impl in the packed path: "cumsum" (ops/segments.py
     # segment_broadcast: delta scatter + cumsum; f32 re-association ~1e-5
     # on broadcast inputs) or "gather" (take by ray id — the v5e per-row
