@@ -1391,13 +1391,15 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         return [_level_geom(x, scales[lvl], nbs[lvl], hasheds[lvl],
                             rows_n[lvl])[0] for lvl in range(L)]
 
-    def fwd_impl(tables, x):
+    def fwd_impl(tables, x, tables_f32=None):
         rows_l = _rows_all(x)
         if fwd_kind == "dma":
             from .pallas_fused import fused_encode_fwd
+            if tables_f32 is None:
+                tables_f32 = [t.astype(jnp.float32) for t in tables]
             out = fused_encode_fwd(
-                x, [t.astype(jnp.float32) for t in tables],
-                jnp.stack(rows_l, 0), scales, nbs, F, compute_dtype=cdtype)
+                x, tables_f32, jnp.stack(rows_l, 0), scales, nbs, F,
+                compute_dtype=cdtype)
             return out, None, tuple(rows_l)
         feats = [jnp.take(tables[lvl].astype(cdtype), rows_l[lvl], axis=0)
                  for lvl in range(L)]
@@ -1409,10 +1411,16 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         return fwd_impl(tables, x)[0]
 
     def fwd(tables, x):
-        if remat_feats or fwd_kind == "dma":
+        if fwd_kind == "dma":
+            # residuals carry the f32 DMA views so fwd and bwd share ONE
+            # bf16->f32 table copy per level per step (the custom-vjp
+            # boundary otherwise forces a second cast in the backward)
+            tables_f32 = [t.astype(jnp.float32) for t in tables]
+            out, _, _ = fwd_impl(tables, x, tables_f32)
+            return out, (x, tuple(tables_f32))
+        if remat_feats:
             # keep only (x, tables): rows + gathered feats are re-derived
             # in the backward — per-sample residuals bind at 2-4M budgets
-            # (the dma forward never materializes feats at all)
             return fwd_impl(tables, x)[0], (x, tables)
         out, feats, rows_l = fwd_impl(tables, x)
         return out, (x, feats, rows_l)
@@ -1422,16 +1430,16 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         tdt = jnp.dtype(table_dtype_name)
         if fwd_kind == "dma":
             # in-kernel re-gather: neither feats nor update rows ever
-            # exist in HBM (ops/pallas_fused.fused_encode_bwd)
+            # exist in HBM (ops/pallas_fused.fused_encode_bwd); the f32
+            # table views come from the residuals (cast once in fwd)
             from .pallas_fused import fused_encode_bwd
-            x, tables = res
+            x, tables_f32 = res
             d_tables, d_x = [], jnp.zeros((), jnp.float32)
             for lvl in range(L):
                 rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
                                             hasheds[lvl], rows_n[lvl])
                 dt, dx = fused_encode_bwd(
-                    x, g[:, lvl * F:(lvl + 1) * F], rows,
-                    tables[lvl].astype(jnp.float32),
+                    x, g[:, lvl * F:(lvl + 1) * F], rows, tables_f32[lvl],
                     scale=scales[lvl], nb=nbs[lvl], n_rows=rows_n[lvl],
                     n_feat=F, compute_dtype=cdtype, accum_dtype=adt)
                 d_tables.append(dt.astype(tdt))
@@ -1618,10 +1626,14 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     k = spec.keyframes
     layouts = spec.level_layout()
 
+    if spec.interp_impl == "dma":
+        from .pallas_fused import dma_tile
+        dma_ok = dma_tile(n, 512) is not None  # grid <= the k9 crash bound
+    else:
+        dma_ok = True
     if (use_custom_vjp and spec.interp_impl in ("pallas", "dma")
             and spec.row_layout == "brick"
-            and _pallas_route_ok(spec, n, layouts)
-            and (spec.interp_impl != "dma" or n % 512 == 0)):
+            and _pallas_route_ok(spec, n, layouts) and dma_ok):
         tables = tuple(
             params[f"bricks_{lvl}"] if lay["hashed"]
             else _materialize_dense_bricks(params[f"grid_{lvl}"],

@@ -48,6 +48,26 @@ from cednerf_tpu.ops.pallas_encoder import (
 
 CORNERS_PER_BRICK = 64
 
+# The tunnel's remote Mosaic compiler deterministically crashes on grids
+# past this size (bisect k9: 4096 programs CRASH, k12-k14: <=2048 PASS).
+MAX_PROGRAMS = 2048
+
+
+def dma_tile(n: int, base: int, max_programs: int = MAX_PROGRAMS):
+    """Smallest power-of-two multiple of `base` dividing n with
+    n/tile <= max_programs, or None if no such tile exists.
+
+    Keeps every fused-DMA pallas_call inside the measured remote-compile
+    envelope at any sample budget (the 2^20 bench budget at tile=256
+    would otherwise build the exact 4096-program grid bisect k9 records
+    as a deterministic crash)."""
+    tile = base
+    while n % tile == 0 and n // tile > max_programs:
+        tile *= 2
+    if n % tile != 0 or n // tile > max_programs:
+        return None
+    return tile
+
 
 @functools.lru_cache(maxsize=None)
 def _build_fused_fwd(scales: Tuple[float, ...], nbs: Tuple[int, ...],
@@ -141,7 +161,10 @@ def fused_encode_fwd(x, tables: Sequence[jnp.ndarray], rows,
     Returns [N, L*F] features, bit-matching the gather+interp_fwd path.
     """
     n = x.shape[0]
+    tile = dma_tile(n, tile) or tile
     assert n % tile == 0, (n, tile)
+    assert 0 < depth <= tile, (depth, tile)
+    assert n // tile <= MAX_PROGRAMS, (n, tile)
     out_dtype = out_dtype or compute_dtype
     run = _build_fused_fwd(
         tuple(float(s) for s in scales), tuple(int(b) for b in nbs),
@@ -279,7 +302,10 @@ def fused_encode_bwd(x, g, rows, table, *, scale: float, nb: int,
     minus the [N, 64F] feats operand.
     """
     n = x.shape[0]
+    tile = dma_tile(n, tile) or tile
     assert n % tile == 0, (n, tile)
+    assert 0 < depth <= tile, (depth, tile)
+    assert n // tile <= MAX_PROGRAMS, (n, tile)
     run = _build_fused_bwd(float(scale), int(nb), int(n_rows), int(n_feat),
                            n, tile, depth, jnp.dtype(compute_dtype).name,
                            jnp.dtype(accum_dtype).name,

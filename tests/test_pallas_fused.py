@@ -50,9 +50,23 @@ def test_fused_fwd_matches_gather_interp(n_feat):
              for l in range(levels)]
     want = interp_fwd(x, feats, scales, nbs, n_feat, tile=256,
                       interpret=True)
-    np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(want, np.float32),
-                               rtol=0, atol=1e-2)
+    # both paths share the identical f32->bf16 cast chain and lane math,
+    # so interpret-mode outputs must be bit-equal
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_dma_tile_stays_inside_grid_envelope():
+    """Tile auto-scaling keeps n/tile <= the k9 remote-compile crash bound."""
+    from cednerf_tpu.ops.pallas_fused import MAX_PROGRAMS, dma_tile
+    assert dma_tile(2 ** 20, 256) == 512      # the bench budget at bwd base
+    assert dma_tile(2 ** 20, 512) == 512
+    assert dma_tile(2 ** 21, 512) == 1024     # 2M budget scales again
+    assert dma_tile(1024, 512) == 512
+    assert dma_tile(1000, 512) is None        # not tile-divisible
+    for n in (2 ** 18, 2 ** 20, 2 ** 22):
+        t = dma_tile(n, 256)
+        assert n % t == 0 and n // t <= MAX_PROGRAMS
 
 
 @pytest.mark.parametrize("n_feat", [4])

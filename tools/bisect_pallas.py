@@ -366,6 +366,8 @@ def main():
     ap.add_argument("--rung_timeout", type=int, default=240,
                     help="per-rung subprocess timeout, s — session-8 style "
                     "remote-compile hangs must not eat the whole ladder")
+    ap.add_argument("--only", help="comma-list of rung names to run "
+                    "(skip the already-verdicted prefix of the ladder)")
     args = ap.parse_args()
     if args.rung:
         sys.exit(0 if run_one(args.rung, args.interpret) else 1)
@@ -374,7 +376,12 @@ def main():
           flush=True)
     import subprocess
     ok = True
-    for name in RUNGS:
+    rungs = RUNGS
+    if args.only:
+        wanted = set(args.only.split(","))
+        rungs = [r for r in RUNGS if r in wanted or r.split("_")[0] in wanted]
+        assert rungs, (args.only, RUNGS)
+    for name in rungs:
         cmd = [sys.executable, __file__, "--rung", name]
         if args.interpret:
             cmd.append("--interpret")
