@@ -52,18 +52,23 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--sample_budget", type=int, default=None,
                         help="override target_sample_batch_size (per-step "
                              "valid-sample budget; preset default 2^18)")
+    # retired measured-loss impls (pallas standalone scatter/interp/compact,
+    # cellz/cellfused layouts, march_seg) are config-only: see docs/TUNING.md
+    # "Retired knobs" — the CLI lists only knobs worth turning
     parser.add_argument("--scatter_impl", type=str, default=None,
-                        choices=["xla", "pallas", "onehot", "auto", "fused"],
+                        choices=["xla", "fused", "onehot", "auto"],
                         help="encoder table-grad scatter impl "
                              "(engine/config.py)")
     parser.add_argument("--interp_impl", type=str, default=None,
-                        choices=["xla", "pallas", "dma"],
-                        help="encoder interpolation impl (engine/config.py)")
+                        choices=["xla", "dma"],
+                        help="encoder interpolation impl: 'dma' fuses row "
+                             "gather + interp in one Pallas kernel per "
+                             "direction (brick layout; engine/config.py)")
     parser.add_argument("--fine_table_rows", type=int, default=None,
                         help="fine-level (>=5) brick-table rows (e.g. 65536;"
                              " cuts fine-level hash aliasing at HBM cost)")
     parser.add_argument("--compact_impl", type=str, default=None,
-                        choices=["xla", "pallas", "rayfold"],
+                        choices=["xla", "rayfold"],
                         help="budget-compaction impl (engine/config.py)")
     parser.add_argument("--max_table_rows", type=int, default=None,
                         help="brick-encoder per-level table-row cap "
@@ -75,11 +80,10 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              "of saving [N, 64F] residuals (use at sample "
                              "budgets >= 2M; ops/brick_grid.py)")
     parser.add_argument("--row_layout", type=str, default=None,
-                        choices=["brick", "cell", "cellz", "cellfused"],
+                        choices=["brick", "cell"],
                         help="hashed-level hot-row layout: 'cell' runs "
                              "per-sample encoder ops at 8F lanes instead of "
-                             "64F; 'cellz' packs the 3-cell z-column into "
-                             "one 24F-lane row (ops/brick_grid.py)")
+                             "64F (ops/brick_grid.py)")
     parser.add_argument("--steady_march_steps", type=int, default=None,
                         help="empty-space-skipping steady-state lattice "
                              "slots (0 = full max_march_steps; "

@@ -1391,15 +1391,15 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         return [_level_geom(x, scales[lvl], nbs[lvl], hasheds[lvl],
                             rows_n[lvl])[0] for lvl in range(L)]
 
-    def fwd_impl(tables, x, tables_f32=None):
+    def fwd_impl(tables, x, views=None):
         rows_l = _rows_all(x)
         if fwd_kind == "dma":
-            from .pallas_fused import fused_encode_fwd
-            if tables_f32 is None:
-                tables_f32 = [t.astype(jnp.float32) for t in tables]
+            from .pallas_fused import dma128_view, fused_encode_fwd
+            if views is None:
+                views = [dma128_view(t) for t in tables]
             out = fused_encode_fwd(
-                x, tables_f32, jnp.stack(rows_l, 0), scales, nbs, F,
-                compute_dtype=cdtype)
+                x, views, jnp.stack(rows_l, 0), scales, nbs, F,
+                compute_dtype=cdtype, tables_are_views=True)
             return out, None, tuple(rows_l)
         feats = [jnp.take(tables[lvl].astype(cdtype), rows_l[lvl], axis=0)
                  for lvl in range(L)]
@@ -1412,12 +1412,13 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
 
     def fwd(tables, x):
         if fwd_kind == "dma":
-            # residuals carry the f32 DMA views so fwd and bwd share ONE
-            # bf16->f32 table copy per level per step (the custom-vjp
+            # residuals carry the 128-lane DMA views so fwd and bwd share
+            # ONE bf16-bytes table copy per level per step (the custom-vjp
             # boundary otherwise forces a second cast in the backward)
-            tables_f32 = [t.astype(jnp.float32) for t in tables]
-            out, _, _ = fwd_impl(tables, x, tables_f32)
-            return out, (x, tuple(tables_f32))
+            from .pallas_fused import dma128_view
+            views = [dma128_view(t) for t in tables]
+            out, _, _ = fwd_impl(tables, x, views)
+            return out, (x, tuple(views))
         if remat_feats:
             # keep only (x, tables): rows + gathered feats are re-derived
             # in the backward — per-sample residuals bind at 2-4M budgets
@@ -1430,18 +1431,19 @@ def _make_pallas_encode(scales, nbs, hasheds, rows_n, n_feat: int,
         tdt = jnp.dtype(table_dtype_name)
         if fwd_kind == "dma":
             # in-kernel re-gather: neither feats nor update rows ever
-            # exist in HBM (ops/pallas_fused.fused_encode_bwd); the f32
-            # table views come from the residuals (cast once in fwd)
+            # exist in HBM (ops/pallas_fused.fused_encode_bwd); the
+            # 128-lane table views come from the residuals (built once)
             from .pallas_fused import fused_encode_bwd
-            x, tables_f32 = res
+            x, views = res
             d_tables, d_x = [], jnp.zeros((), jnp.float32)
             for lvl in range(L):
                 rows, _, _, _ = _level_geom(x, scales[lvl], nbs[lvl],
                                             hasheds[lvl], rows_n[lvl])
                 dt, dx = fused_encode_bwd(
-                    x, g[:, lvl * F:(lvl + 1) * F], rows, tables_f32[lvl],
+                    x, g[:, lvl * F:(lvl + 1) * F], rows, views[lvl],
                     scale=scales[lvl], nb=nbs[lvl], n_rows=rows_n[lvl],
-                    n_feat=F, compute_dtype=cdtype, accum_dtype=adt)
+                    n_feat=F, compute_dtype=cdtype, accum_dtype=adt,
+                    table_is_view=True)
                 d_tables.append(dt.astype(tdt))
                 d_x = d_x + dx
             return tuple(d_tables), d_x.astype(x.dtype)
@@ -1627,8 +1629,11 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     layouts = spec.level_layout()
 
     if spec.interp_impl == "dma":
-        from .pallas_fused import dma_tile
-        dma_ok = dma_tile(n, 512) is not None  # grid <= the k9 crash bound
+        from .pallas_fused import DMA_LANES, dma_tile
+        # grid <= the k9 crash bound AND F=4 (32F must equal the 128-lane
+        # DMA row width the remote Mosaic build accepts — bisect k18)
+        dma_ok = (dma_tile(n, 512) is not None
+                  and 32 * spec.n_features == DMA_LANES)
     else:
         dma_ok = True
     if (use_custom_vjp and spec.interp_impl in ("pallas", "dma")

@@ -14,7 +14,18 @@ from cednerf_tpu.datasets.rays import generate_spiral_path, pinhole_rays
 
 # ---------------------------------------------------------------- fixtures
 
-def make_dnerf_fixture(root, scene="lego", n_frames=3, wh=16):
+def _ring_c2w(i, n, radius=4.0, z=1.0):
+    """OpenGL c2w (4x4) on a ring, looking at the origin."""
+    from cednerf_tpu.datasets.rays import viewmatrix
+
+    th = 2 * np.pi * i / n
+    pos = np.array([radius * np.cos(th), radius * np.sin(th), z], np.float32)
+    c2w = np.eye(4)
+    c2w[:3, :4] = viewmatrix(pos, np.array([0.0, 0, 1]), pos)
+    return c2w
+
+
+def make_dnerf_fixture(root, scene="lego", n_frames=3, wh=16, ring=False):
     import imageio.v2 as imageio
 
     d = os.path.join(root, scene)
@@ -26,8 +37,11 @@ def make_dnerf_fixture(root, scene="lego", n_frames=3, wh=16):
             rel = f"./{split}_{i:03d}"
             img = rng.integers(0, 255, (wh, wh, 4), dtype=np.uint8)
             imageio.imwrite(os.path.join(d, f"{split}_{i:03d}.png"), img)
-            c2w = np.eye(4)
-            c2w[2, 3] = 4.0
+            if ring:
+                c2w = _ring_c2w(i + (0.5 if split == "test" else 0), n_frames)
+            else:
+                c2w = np.eye(4)
+                c2w[2, 3] = 4.0
             frames.append({
                 "file_path": rel,
                 "time": i / max(n_frames - 1, 1),
@@ -39,7 +53,22 @@ def make_dnerf_fixture(root, scene="lego", n_frames=3, wh=16):
     return root
 
 
-def make_hypernerf_fixture(root, scene="vrig_test", n_imgs=8, wh=16):
+def _lookat_orientation(pos, target=(0.0, 0.0, 0.0)):
+    """google-Camera world-to-camera rotation (rows = right, down, forward)
+    for a camera at `pos` looking at `target` (+z optical axis)."""
+    f = np.asarray(target, np.float64) - np.asarray(pos, np.float64)
+    f = f / np.linalg.norm(f)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(f, up)) > 0.98:
+        up = np.array([0.0, 1.0, 0.0])
+    r = np.cross(f, up)
+    r = r / np.linalg.norm(r)
+    d = np.cross(f, r)
+    return np.stack([r, d, f])
+
+
+def make_hypernerf_fixture(root, scene="vrig_test", n_imgs=8, wh=16,
+                           ring=False):
     import imageio.v2 as imageio
 
     inner = os.path.join(root, scene, scene.split("vrig_")[-1])
@@ -58,9 +87,16 @@ def make_hypernerf_fixture(root, scene="vrig_test", n_imgs=8, wh=16):
                    "train_ids": ids[::2],
                    "val_ids": ids[1::2]}, f)
     for k, i in enumerate(ids):
+        if ring:
+            th = 2 * np.pi * k / n_imgs
+            pos = [4.0 * np.cos(th), 4.0 * np.sin(th), 1.0]
+            orient = _lookat_orientation(pos).tolist()
+        else:
+            pos = [0.0, 0.0, -4.0 - 0.1 * k]
+            orient = np.eye(3).tolist()
         cam = {
-            "orientation": np.eye(3).tolist(),
-            "position": [0.0, 0.0, -4.0 - 0.1 * k],
+            "orientation": orient,
+            "position": pos,
             "focal_length": 2 * wh,
             "principal_point": [wh, wh],  # full-res (2x) principal point
             "skew": 0.0,
@@ -76,7 +112,8 @@ def make_hypernerf_fixture(root, scene="vrig_test", n_imgs=8, wh=16):
     return root
 
 
-def make_dynerf_fixture(root, scene="cook_spinach", n_cams=3, n_frames=4, wh=16):
+def make_dynerf_fixture(root, scene="cook_spinach", n_cams=3, n_frames=4,
+                        wh=16, ring=False):
     import imageio.v2 as imageio
 
     d = os.path.join(root, scene)
@@ -85,9 +122,21 @@ def make_dynerf_fixture(root, scene="cook_spinach", n_cams=3, n_frames=4, wh=16)
     # poses_bounds.npy: [n_cams, 17] = 3x5 pose + 2 bounds
     poses = []
     for c in range(n_cams):
-        pose = np.concatenate(
-            [np.eye(3), np.array([[0.2 * c], [0.0], [4.0]])], axis=1
-        )  # 3x4
+        if ring:
+            # LLFF raw convention: columns [down, right, back]; a shallow
+            # arc of cameras converging on the origin (multi-camera rig)
+            th = 0.9 * np.pi * (c / max(n_cams - 1, 1) - 0.5)
+            p = np.array([3.0 * np.sin(th), 0.6, 3.0 * np.cos(th)])
+            back = p / np.linalg.norm(p)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(up, back)
+            right = right / np.linalg.norm(right)
+            down = -np.cross(back, right)
+            pose = np.stack([down, right, back, p], axis=1)  # 3x4
+        else:
+            pose = np.concatenate(
+                [np.eye(3), np.array([[0.2 * c], [0.0], [4.0]])], axis=1
+            )  # 3x4
         hwf = np.array([[wh * 4], [wh * 4], [wh * 8.0]])  # full-res h, w, focal
         poses.append(np.concatenate([pose, hwf], axis=1).reshape(-1))
     arr = np.stack([np.concatenate([p, [1.0, 10.0]]) for p in poses])

@@ -336,11 +336,308 @@ def k17(interpret):
     np.asarray(dx[:8])
 
 
+# Session-19: k15/k16/k17 ALL crash the remote build while every k4-k14
+# envelope rung passes. The fused kernels differ from the passing shape in
+# six variables — k18-k23 isolate them one at a time:
+#   k18 DMA row width 256 (passing rungs copied exactly 128 f32 lanes)
+#   k19 row indices via a 2-D SMEM BlockSpec (vs scalar-prefetch)
+#   k20 multiple ANY-space tables DMA'd in one kernel
+#   k21 DMA destination = VMEM scratch, then math -> output block
+#       (passing rungs DMA'd straight into the output block)
+#   k22 compare-built lane math + narrow (sub-128-lane) output block
+#   k23 in-kernel pltpu.bitcast f32[.,128] -> bf16[.,256] (the k11
+#       workaround moved inside the kernel, where the fused math needs it)
+
+
+def _idx_t(rows=R, w=W, n=N):
+    key = jax.random.PRNGKey(0)
+    t = jax.random.normal(key, (rows, w), jnp.float32)
+    idx = jax.random.randint(key, (n,), 0, rows, jnp.int32)
+    return t, idx
+
+
+def _pipe_copy(idx_read, t_ref, dst, sems, depth, tile):
+    """The k5 depth-pipelined per-row DMA loop."""
+    def copy(j):
+        return pltpu.make_async_copy(
+            t_ref.at[pl.ds(idx_read(j), 1), :],
+            dst.at[pl.ds(j, 1), :], sems.at[j % depth])
+
+    def body(j, c):
+        @pl.when(j >= depth)
+        def _():
+            copy(j - depth).wait()
+        copy(j).start()
+        return c
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+    def tail(j, c):
+        copy(tile - depth + j).wait()
+        return c
+
+    jax.lax.fori_loop(0, depth, tail, 0)
+
+
+def k18(interpret):
+    """k5 pipelined DMA but 256-lane f32 rows (the fused kernel's row
+    shape at F=4: 64F = 256 f32 lanes; every passing rung used 128)."""
+    depth, w = 4, 256
+
+    def kern(idx_ref, t_ref, o_ref, sems):
+        base = pl.program_id(0) * TILE
+        _pipe_copy(lambda j: idx_ref[base + j], t_ref, o_ref, sems,
+                   depth, TILE)
+
+    t, idx = _idx_t(w=w)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, w), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, w), t.dtype),
+                         grid_spec=grid_spec, interpret=interpret)(idx, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def k19(interpret):
+    """k5 but row indices via a 2-D SMEM BlockSpec (the fused kernel's
+    [L, tile] rows input) instead of scalar prefetch."""
+    depth, L = 4, 4
+
+    def kern(rows_ref, t_ref, o_ref, sems):
+        _pipe_copy(lambda j: rows_ref[0, j], t_ref, o_ref, sems, depth, TILE)
+
+    t, idx = _idx_t()
+    rows = jnp.tile(idx[None, :], (L, 1))
+    out = pl.pallas_call(
+        kern,
+        grid=(N // TILE,),
+        in_specs=[pl.BlockSpec((L, TILE), lambda i: (0, i),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, W), t.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+        interpret=interpret)(rows, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(t)[np.asarray(idx)])
+
+
+def k20(interpret):
+    """k5 but FOUR ANY-space tables, each DMA'd to a quarter of the
+    output rows (multi-table DMA in one kernel)."""
+    depth, L = 4, 4
+    q = TILE // L
+
+    def kern(idx_ref, *refs):
+        tabs, o_ref, sems = refs[:L], refs[L], refs[L + 1]
+        base = pl.program_id(0) * TILE
+        # sequential per-table pipelined loops into disjoint row ranges
+        for lvl in range(L):
+            def copy(j, lvl=lvl):
+                return pltpu.make_async_copy(
+                    tabs[lvl].at[pl.ds(idx_ref[base + lvl * q + j], 1), :],
+                    o_ref.at[pl.ds(lvl * q + j, 1), :], sems.at[j % depth])
+
+            def body(j, c):
+                @pl.when(j >= depth)
+                def _():
+                    copy(j - depth).wait()
+                copy(j).start()
+                return c
+
+            jax.lax.fori_loop(0, q, body, 0)
+
+            def tail(j, c):
+                copy(q - depth + j).wait()
+                return c
+
+            jax.lax.fori_loop(0, depth, tail, 0)
+
+    key = jax.random.PRNGKey(0)
+    tabs = [jax.random.normal(jax.random.fold_in(key, l), (R, W), jnp.float32)
+            for l in range(L)]
+    idx = jax.random.randint(key, (N,), 0, R, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(L)],
+        out_specs=pl.BlockSpec((TILE, W), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, W),
+                                                              jnp.float32),
+                         grid_spec=grid_spec, interpret=interpret)(idx, *tabs)
+    got = np.asarray(out).reshape(N // TILE, L, q, W)
+    want_idx = np.asarray(idx).reshape(N // TILE, L, q)
+    for lvl in range(L):
+        np.testing.assert_allclose(got[:, lvl], np.asarray(tabs[lvl])
+                                   [want_idx[:, lvl]])
+
+
+def k21(interpret):
+    """k5 but DMA lands in a VMEM scratch, then scratch -> output block
+    through a vector op (the fused kernel's staging shape)."""
+    depth = 4
+
+    def kern(idx_ref, t_ref, o_ref, scr, sems):
+        base = pl.program_id(0) * TILE
+        _pipe_copy(lambda j: idx_ref[base + j], t_ref, scr, sems,
+                   depth, TILE)
+        o_ref[...] = scr[...] * 2.0
+
+    t, idx = _idx_t()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((TILE, W), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, W), t.dtype),
+                         grid_spec=grid_spec, interpret=interpret)(idx, t)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(t)[np.asarray(idx)] * 2.0)
+
+
+def k22(interpret):
+    """k21 plus compare-built lane weights and a narrow (16-lane) output
+    block (the fused kernel's interp math + out shape)."""
+    depth, F = 4, 4
+
+    def kern(idx_ref, t_ref, x_ref, o_ref, scr, sems):
+        base = pl.program_id(0) * TILE
+        _pipe_copy(lambda j: idx_ref[base + j], t_ref, scr, sems,
+                   depth, TILE)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
+        w = jnp.where((lane // F) % 2 == 0, x_ref[...][:, :1],
+                      1.0 - x_ref[...][:, :1])
+        prod = scr[...] * w
+        acc = jnp.zeros((TILE, F), jnp.float32)
+        for c in range(W // F):
+            acc = acc + prod[:, c * F:(c + 1) * F]
+        o_ref[...] = acc
+
+    t, idx = _idx_t()
+    x = jax.random.uniform(jax.random.PRNGKey(5), (N, 3))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((TILE, 3), lambda i, idx_ref: (i, 0))],
+        out_specs=pl.BlockSpec((TILE, F), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, F),
+                                                              jnp.float32),
+                         grid_spec=grid_spec, interpret=interpret)(idx, t, x)
+    rows = np.asarray(t)[np.asarray(idx)]
+    lane = np.arange(W)[None, :]
+    wnp = np.where((lane // F) % 2 == 0, np.asarray(x)[:, :1],
+                   1.0 - np.asarray(x)[:, :1])
+    want = (rows * wnp).reshape(N, W // F, F).sum(1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def k23(interpret):
+    """k21 but the table is a bf16[R,256] brick row stored/DMA'd as its
+    bit-identical f32[R,128] view, bitcast back to bf16 INSIDE the kernel.
+
+    pltpu.bitcast packs along SUBLANES: f32[T,128] -> bf16[2T,128] where
+    row 2i holds the even canonical lanes of bf16 row i and row 2i+1 the
+    odd lanes (verified in interpret mode). The fused-encoder math consumes
+    that layout directly (see k24); this rung just gates the bitcast op on
+    the remote Mosaic build."""
+    depth = 4
+
+    def kern(idx_ref, t_ref, o_ref, scr, sems):
+        base = pl.program_id(0) * TILE
+        _pipe_copy(lambda j: idx_ref[base + j], t_ref, scr, sems,
+                   depth, TILE)
+        vals16 = pltpu.bitcast(scr[...], jnp.bfloat16)  # [2*TILE, 128]
+        o_ref[...] = vals16.astype(jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    t16 = jax.random.normal(key, (R, 256), jnp.float32).astype(jnp.bfloat16)
+    t32 = jax.lax.bitcast_convert_type(
+        t16.reshape(R, 128, 2), jnp.float32).reshape(R, 128)
+    idx = jax.random.randint(key, (N,), 0, R, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((2 * TILE, 128), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((2 * N, 128),
+                                                              jnp.float32),
+                         grid_spec=grid_spec, interpret=interpret)(idx, t32)
+    rows16 = np.asarray(t16, np.float32)[np.asarray(idx)]  # [N, 256]
+    want = np.empty((2 * N, 128), np.float32)
+    want[0::2] = rows16[:, 0::2]
+    want[1::2] = rows16[:, 1::2]
+    np.testing.assert_allclose(np.asarray(out), want)
+
+
+def k24(interpret):
+    """The full dma128 fused-encoder shape: bf16 row DMA'd as f32[.,128],
+    in-kernel bitcast to the [2*TILE, 128] sublane-interleaved layout,
+    sublane-parity iota + corner (lane//2) compare math, stride-2 lane
+    reduction by MXU selector matmul, narrow interleaved output."""
+    depth, F = 4, 4
+
+    def kern(idx_ref, t_ref, x_ref, o_ref, scr, sems):
+        base = pl.program_id(0) * TILE
+        _pipe_copy(lambda j: idx_ref[base + j], t_ref, scr, sems,
+                   depth, TILE)
+        vals16 = pltpu.bitcast(scr[...], jnp.bfloat16)  # [2T, 128]
+        corner = jax.lax.broadcasted_iota(jnp.int32, (2 * TILE, 128), 1) // 2
+        w = jnp.where(corner % 2 == 0, x_ref[...][:, :1],
+                      1.0 - x_ref[...][:, :1]).astype(jnp.bfloat16)
+        prod = vals16 * w
+        # stride-2 lane reduce: [2T, 128] x [128, 2] one-hot parity selector
+        lane = jax.lax.broadcasted_iota(jnp.int32, (128, 2), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (128, 2), 1)
+        sel = (lane % 2 == col).astype(jnp.bfloat16)
+        o_ref[...] = jax.lax.dot_general(
+            prod, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    t16 = jax.random.normal(key, (R, 256), jnp.float32).astype(jnp.bfloat16)
+    t32 = jax.lax.bitcast_convert_type(
+        t16.reshape(R, 128, 2), jnp.float32).reshape(R, 128)
+    idx = jax.random.randint(key, (N,), 0, R, jnp.int32)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (N, 3))
+    x2 = jnp.repeat(x, 2, axis=0)  # row r -> sample r//2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(N // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((2 * TILE, 3), lambda i, idx_ref: (i, 0))],
+        out_specs=pl.BlockSpec((2 * TILE, 2), lambda i, idx_ref: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((depth,))])
+    out = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((2 * N, 2),
+                                                              jnp.float32),
+                         grid_spec=grid_spec, interpret=interpret)(idx, t32, x2)
+    rows16 = np.asarray(t16, np.float32)[np.asarray(idx)]  # [N, 256]
+    inter = np.empty((2 * N, 128), np.float32)
+    inter[0::2] = rows16[:, 0::2]
+    inter[1::2] = rows16[:, 1::2]
+    import ml_dtypes
+    corner = np.arange(128)[None, :] // 2
+    xe = np.repeat(np.asarray(x), 2, axis=0)
+    wnp = np.where(corner % 2 == 0, xe[:, :1],
+                   1 - xe[:, :1]).astype(ml_dtypes.bfloat16)
+    # kernel multiplies in bf16 (product rounded to bf16), accumulates f32
+    prod = (inter.astype(ml_dtypes.bfloat16) * wnp).astype(np.float32)
+    want = np.stack([prod[:, 0::2].sum(1), prod[:, 1::2].sum(1)], axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
 RUNGS = ["k0_elementwise", "k1_tiled", "k2_static_dma", "k3_dyn_idx_dma",
          "k4_loop_dma", "k5_pipelined", "k6_shipped", "k7_bf16",
          "k8_bigtable", "k9_bign", "k10_w32", "k11_bitcast",
          "k12_grid1024", "k13_grid2048", "k14_tile2048",
-         "k15_fusedtoy", "k16_fusedbench", "k17_fusedbwd"]
+         "k15_fusedtoy", "k16_fusedbench", "k17_fusedbwd",
+         "k18_w256dma", "k19_smemrows", "k20_multitable",
+         "k21_scratchdst", "k22_mathnarrow", "k23_kernelbitcast",
+         "k24_dma128fused"]
 
 
 def run_one(name, interpret):
