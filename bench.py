@@ -150,7 +150,30 @@ def main():
     import jax
 
     from cednerf_tpu.utils import enable_compile_cache
-    enable_compile_cache()
+    cache_dir = enable_compile_cache()
+
+    # surface persistent-cache behavior: a warm re-bench should HIT for
+    # every program (the 686 s BENCH_r02 warmup was all first-compiles);
+    # count writes (= misses) so the tail prints who paid what
+    import logging
+
+    cache_events = {"writes": 0, "hits": 0}
+
+    class _CacheCounter(logging.Filter):
+        def filter(self, record):
+            msg = record.getMessage()
+            if "persistent compilation cache" in msg:
+                if "Writing" in msg:
+                    cache_events["writes"] += 1
+                elif "cache hit" in msg or "Getting" in msg:
+                    cache_events["hits"] += 1
+            return False  # count only, keep stderr clean
+
+    _cache_logger = logging.getLogger("jax._src.compilation_cache")
+    _cache_logger.setLevel(logging.DEBUG)
+    _cache_logger.addFilter(_CacheCounter())
+    print(f"# bench: compile cache at {cache_dir}", file=sys.stderr,
+          flush=True)
 
     sys.path.insert(0, "tests")
     from synthetic_scene import BallCloudScene
@@ -204,7 +227,9 @@ def main():
     while trainer.step < 384:
         log(trainer.run_chunk())
     trainer.adapt_bucket = False
-    print(f"# warmup+compile done in {time.perf_counter() - t_start:.0f}s",
+    print(f"# warmup+compile done in {time.perf_counter() - t_start:.0f}s "
+          f"(persistent-cache misses: {cache_events['writes']}, "
+          f"hits: {cache_events['hits']})",
           file=sys.stderr, flush=True)
     # Settle: the first window after compilation measures ~30% slow on the
     # tunneled chip (frequency/JIT ramp); run untimed steps until the cached

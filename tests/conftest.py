@@ -19,6 +19,9 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the op tests compile many small programs; caching
-# makes repeated suite runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# makes repeated suite runs fast. Repo-local so it survives container
+# restarts (/tmp does not — VERDICT r2 item 7).
+_repo_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _repo_cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
