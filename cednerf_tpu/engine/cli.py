@@ -60,10 +60,10 @@ def get_model_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="encoder table-grad scatter impl "
                              "(engine/config.py)")
     parser.add_argument("--interp_impl", type=str, default=None,
-                        choices=["xla", "dma"],
-                        help="encoder interpolation impl: 'dma' fuses row "
-                             "gather + interp in one Pallas kernel per "
-                             "direction (brick layout; engine/config.py)")
+                        choices=["xla"],
+                        help="encoder interpolation impl (engine/config.py; "
+                             "'pallas'/'dma' are retired measured losses, "
+                             "config-only — docs/TUNING.md)")
     parser.add_argument("--fine_table_rows", type=int, default=None,
                         help="fine-level (>=5) brick-table rows (e.g. 65536;"
                              " cuts fine-level hash aliasing at HBM cost)")
