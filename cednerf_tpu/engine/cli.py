@@ -159,6 +159,7 @@ def build_field(cfg: SceneConfig, flags: ModelFlags) -> DNGPRadianceField:
         interp_impl=cfg.interp_impl,
         max_table_rows=cfg.max_table_rows,
         fine_table_rows=cfg.fine_table_rows,
+        fine_from_level=cfg.fine_from_level,
         remat_feats=cfg.remat_feats,
         row_layout=cfg.row_layout,
         cell_rows_cap=cfg.cell_rows_cap,

@@ -81,6 +81,11 @@ class SceneConfig:
     # at HBM (not VMEM) cost; levels over the VMEM bound use the XLA
     # scatter automatically. 0 = uniform cap.
     fine_table_rows: int = 0
+    # first level fine_table_rows applies to (BrickGridSpec.fine_from_level;
+    # default 5 targets the finest of 8 levels — lower it for narrow level
+    # counts, e.g. 2 for the L4F8 split where the capacity-starved levels
+    # are 2-3)
+    fine_from_level: int = 5
     # Per-level cell-layout row guard: a hashed level whose CELL table
     # (rows*27) would exceed this keeps the brick layout — the v5e
     # scatter-add marginal cost degenerates ~10x past ~0.5M-row tables

@@ -108,6 +108,7 @@ class HashGridEncoder(nn.Module):
                 interp_impl=self.spec.interp_impl,
                 max_table_rows=self.spec.max_table_rows,
                 fine_table_rows=self.spec.fine_table_rows,
+                fine_from_level=self.spec.fine_from_level,
                 remat_feats=self.spec.remat_feats,
                 row_layout=self.spec.row_layout,
                 cell_rows_cap=self.spec.cell_rows_cap,
@@ -216,6 +217,7 @@ class DNGPRadianceField(nn.Module):
     interp_impl: str = "xla"  # encoder interpolation impl (see BrickGridSpec)
     max_table_rows: int = 16384  # brick-impl per-level table cap (rows)
     fine_table_rows: int = 0  # brick-impl fine-level row override
+    fine_from_level: int = 5  # first level the override applies to
     remat_feats: bool = False  # brick-impl: re-gather rows in the backward
     row_layout: str = "brick"  # brick-impl hashed-level hot-row layout
     cell_rows_cap: int = 524288  # per-level cell-layout row guard
@@ -234,6 +236,7 @@ class DNGPRadianceField(nn.Module):
             interp_impl=self.interp_impl,
             max_table_rows=self.max_table_rows,
             fine_table_rows=self.fine_table_rows,
+            fine_from_level=self.fine_from_level,
             remat_feats=self.remat_feats,
             row_layout=self.row_layout,
             cell_rows_cap=self.cell_rows_cap,

@@ -75,6 +75,8 @@ class HashGridSpec:
     max_table_rows: int = 16384
     # brick-impl fine-level row override (see BrickGridSpec.fine_table_rows)
     fine_table_rows: int = 0
+    # first level the override applies to (BrickGridSpec.fine_from_level)
+    fine_from_level: int = 5
     # brick-impl: re-gather rows in the backward instead of saving [N, 64F]
     # residuals per level (see BrickGridSpec.remat_feats)
     remat_feats: bool = False

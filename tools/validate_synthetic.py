@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--scatter_impl", default=None,
                     choices=("xla", "pallas", "onehot", "auto", "fused"))
     ap.add_argument("--compact_impl", default=None, choices=("xla", "pallas"))
+    ap.add_argument("--fine_from_level", type=int, default=0,
+                    help="first level --fine_table_rows applies to "
+                         "(0 = keep the preset default 5; use 2 for L4)")
     ap.add_argument("--fine_table_rows", type=int, default=0,
                     help="fine-level brick-table rows (aliasing A/B arm)")
     ap.add_argument("--march_seg", type=int, default=-1,
@@ -113,6 +116,8 @@ def main():
         cfg = dataclasses.replace(cfg, compact_impl=args.compact_impl)
     if args.fine_table_rows:
         cfg = dataclasses.replace(cfg, fine_table_rows=args.fine_table_rows)
+    if args.fine_from_level:
+        cfg = dataclasses.replace(cfg, fine_from_level=args.fine_from_level)
     if args.march_seg >= 0:
         cfg = dataclasses.replace(cfg, march_seg=args.march_seg)
     if args.remat_feats:
