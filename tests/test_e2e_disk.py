@@ -164,12 +164,14 @@ def test_hypernerf_disk_trains(tmp_path):
     inner = os.path.join(root, "vrig_test", "test")
     train_ids = [f"{i:06d}" for i in range(n)][::2]
     paths = [os.path.join(inner, "rgb", "2x", f"{i}.png") for i in train_ids]
-    _paint_images(ds, idxs, paths, center,
-                  radius=0.12 * float(np.linalg.norm(center) + 1.0))
+    cam0 = ds.image_rays(0)
+    o0 = np.asarray(cam0["origins"]).reshape(-1, 3)[0]
+    radius = 0.2 * float(np.linalg.norm(center - o0))
+    _paint_images(ds, idxs, paths, center, radius)
 
     ds = HyperNeRFDataset("vrig_test", root, "train", num_rays=1024,
                           factor=2, add_cam=True)
-    r = 0.3 * float(np.linalg.norm(center) + 1.0)
+    r = 3 * radius
     aabb = tuple(np.concatenate([center - r, center + r]).tolist())
     cfg = _train_cfg(hypernerf_config("vrig_test", max_steps=1000), aabb)
     first, last = _run_gate(ds, cfg)
@@ -200,14 +202,14 @@ def test_dynerf_disk_trains(tmp_path):
                                       f"c{c}_f{f}.png"))
     cam0 = ds.image_rays(0)
     o0 = np.asarray(cam0["origins"]).reshape(-1, 3)[0]
-    radius = 0.15 * float(np.linalg.norm(center - o0))
+    radius = 0.22 * float(np.linalg.norm(center - o0))
     _paint_images(ds, idxs, paths, center, radius)
 
     ds = DyNeRFDataset("cook_spinach", root, "train", num_rays=1024,
                        sampling="uniform")
     r = 4 * radius
     aabb = tuple(np.concatenate([center - r, center + r]).tolist())
-    cfg = _train_cfg(dynerf_config("cook_spinach", max_steps=1000), aabb)
+    cfg = _train_cfg(dynerf_config(max_steps=1000), aabb)
     first, last = _run_gate(ds, cfg)
     assert last > first + 2.0, (first, last)
     assert last > 16.0, (first, last)
