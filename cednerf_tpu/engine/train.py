@@ -433,6 +433,13 @@ class Trainer:
         # start at the smallest ray bucket: early training has a dense grid,
         # so demand/ray ~ max_march_steps and the budget fits few rays
         self.bucket = cfg.ray_buckets()[0]
+        # adaptive empty-space-skip lattice: starts at the configured
+        # steady_march_steps and doubles (toward max_march_steps = skip off)
+        # whenever steady-state complete_frac shows SPAN truncation — rays
+        # whose occupied span exceeds the lattice are loss-masked forever
+        # otherwise (measured: -0.7 train dB / -8 view dB on the texture
+        # scene at 512 slots, results/r3s20/texture_cell_ftr)
+        self.steady_march = cfg.steady_march_steps
         self._step_fns = {}
         self._loop_fns = {}
         self._stacked = bool(stacked_host) and device_sampler is None
@@ -509,11 +516,17 @@ class Trainer:
 
     def _loop_fn(self, n_rays: int):
         warmup = self._warmup_now()
-        keyed = (n_rays, warmup)
+        keyed = (n_rays, warmup, self.steady_march)
         if keyed not in self._loop_fns:
+            import dataclasses
+
+            cfg = self.cfg
+            if self.steady_march != cfg.steady_march_steps:
+                cfg = dataclasses.replace(
+                    cfg, steady_march_steps=self.steady_march)
             data, sample_fn = self.device_sampler
             self._loop_fns[keyed] = make_train_loop(
-                self.field, self.cfg, self.flags, n_rays, sample_fn,
+                self.field, cfg, self.flags, n_rays, sample_fn,
                 self.steps_per_call, warmup_phase=warmup, mesh=self.mesh,
             )
         return self._loop_fns[keyed]
@@ -555,6 +568,18 @@ class Trainer:
         if mean_valid > 0 and not self._warmup_now() and self.adapt_bucket:
             self.bucket = cfg.pick_ray_bucket(mean_valid / n_rays)
         cf = float(jnp.mean(metrics["complete_frac"]))
+        # span-truncation auto-repair: rays whose occupied span exceeds the
+        # steady lattice are loss-masked FOREVER and the masked metrics hide
+        # it (measured -0.7 train dB / -8 view dB on the texture scene at
+        # 512 slots, results/r3s20/texture_cell_ftr). Double the lattice
+        # until complete (>= max_march_steps disables the skip): at most
+        # log2(max/steady) recompiles, same class as a ray-bucket
+        # adaptation. Gated on adapt_bucket so frozen-shape bench windows
+        # stay one program (telemetry still reports complete_frac).
+        if (cf < 0.99 and not self._warmup_now() and self.adapt_bucket
+                and 0 < self.steady_march < cfg.max_march_steps):
+            self.steady_march = min(2 * self.steady_march,
+                                    cfg.max_march_steps)
         if cf < 0.5 and not self._warmup_now():
             # most rays loss-masked: the masked MSE silently ignores them
             # (train metrics can even read as PSNR=inf). Rate-limited so a

@@ -47,6 +47,29 @@ def test_run_chunk_trains():
     assert bool(jnp.any(trainer.state.occ.binaries))
 
 
+def test_steady_march_auto_repair():
+    """A steady lattice shorter than the occupied span loss-masks rays
+    forever (measured -8 view dB on the texture scene, r3s20); the Trainer
+    must detect the span truncation via complete_frac and grow the lattice
+    toward max_march_steps."""
+    # budget >> demand so the only truncation cause is the steady lattice
+    cfg = dataclasses.replace(tiny_cfg(), steady_march_steps=16,
+                              target_sample_batch_size=16384)
+    scene = BallScene(wh=32)
+    field = tiny_field(cfg)
+    trainer = Trainer(field, cfg, ModelFlags(), scene, seed=0,
+                      device_sampler=scene.device_sampler(),
+                      steps_per_call=8)
+    assert trainer.steady_march == 16
+    for _ in range(10):
+        m = trainer.run_chunk()
+    # 16 slots truncate (occupied spans run from first-occupied cell to the
+    # traversal end); the repair doubles per incomplete chunk up to
+    # max_march_steps, where the skip disables and every ray completes
+    assert trainer.steady_march > 16, trainer.steady_march
+    assert m["complete_frac"] > 0.99, m
+
+
 def test_run_dispatches_fast_path():
     cfg = dataclasses.replace(tiny_cfg(), max_steps=16)
     scene = BallScene(wh=32)
