@@ -29,6 +29,17 @@ from .renderer import render_rays
 from .train import make_optimizer
 
 
+def make_prop_optimizer(cfg: SceneConfig):
+    """The prop-path optimizer: Adam under a skip-nonfinite wrapper — the
+    reference's AMP GradScaler semantics (train_real.py:412-419 skips steps
+    whose scaled grads go inf/nan; SURVEY N9). Without it one bad step
+    poisons the params forever — observed: the s20 ttq_prop arm hit 30 dB
+    at step 112 then diverged to NaN near step 1k and never recovered
+    (results/r3s20/ttq_prop_4k.log)."""
+    return optax.apply_if_finite(make_optimizer(cfg),
+                                 max_consecutive_errors=1000)
+
+
 @dataclasses.dataclass(frozen=True)
 class PropConfig:
     """Sampler shape config per scene family (train_prop_real.py intent)."""
@@ -75,7 +86,7 @@ def create_prop_train_state(field, props, cfg: SceneConfig, key) -> PropTrainSta
         "field": field.init(keys[0], x, t, d, return_internal=True),
         "props": tuple(p.init(k, x) for p, k in zip(props, keys[1:])),
     }
-    tx = make_optimizer(cfg)
+    tx = make_prop_optimizer(cfg)
     return PropTrainState(params=params, opt_state=tx.init(params))
 
 
@@ -83,7 +94,7 @@ def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
                          pcfg: PropConfig):
     """Un-jitted proposal-path step body (shared by the single-step fn and
     the scanned multi-step loop)."""
-    tx = make_optimizer(cfg)
+    tx = make_prop_optimizer(cfg)
     aabb = np.asarray(cfg.aabb, np.float32)
 
     def train_step(state: PropTrainState, batch, key, step):

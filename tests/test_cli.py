@@ -16,24 +16,24 @@ def _parse(argv):
 
 
 def test_perf_overrides_reach_field_spec():
+    # retired impls (pallas/dma/cellz/...) are config-only: the CLI lists
+    # only live knobs (docs/TUNING.md "Retired knobs")
     args = _parse(["-te", "-ta", "-f", "--sample_budget", "524288",
-                   "--scatter_impl", "fused", "--interp_impl", "pallas",
+                   "--scatter_impl", "fused", "--interp_impl", "xla",
                    "--max_table_rows", "32768",
                    "--fine_table_rows", "65536",
-                   "--compact_impl", "pallas"])
+                   "--compact_impl", "rayfold"])
     cfg = apply_perf_overrides(dnerf_config(max_steps=100), args)
     assert cfg.target_sample_batch_size == 524288
     assert cfg.scatter_impl == "fused"
-    assert cfg.interp_impl == "pallas"
+    assert cfg.interp_impl == "xla"
     assert cfg.max_table_rows == 32768
     assert cfg.fine_table_rows == 65536
-    assert cfg.compact_impl == "pallas"
+    assert cfg.compact_impl == "rayfold"
     field = build_field(cfg, flags_from_args(args))
     assert field.scatter_impl == "fused"
-    assert field.interp_impl == "pallas"
     bspec = field.hash_spec
     assert bspec.scatter_impl == "fused"
-    assert bspec.interp_impl == "pallas"
     assert bspec.max_table_rows == 32768
     assert bspec.fine_table_rows == 65536
     # a 32768-row bf16 accumulator exceeds VMEM: the pallas route must

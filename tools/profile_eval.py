@@ -23,7 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wh", type=int, default=256)
     ap.add_argument("--warm_steps", type=int, default=320)
-    ap.add_argument("--compact", default="xla", choices=("xla", "pallas"))
+    ap.add_argument("--compact", default="xla", choices=("xla", "rayfold"))
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="eval chunk rays (0 = cfg.eval_chunk; bigger "
+                         "chunks amortize per-chunk march/op floors at "
+                         "large frames)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +49,8 @@ def main():
     )
     cfg = dataclasses.replace(dnerf_config(max_steps=100000),
                               compact_impl=args.compact)
+    if args.chunk:
+        cfg = dataclasses.replace(cfg, eval_chunk=args.chunk)
     field = build_field(cfg, flags)
     scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
     tr = Trainer(field, cfg, flags, scene, seed=0,
