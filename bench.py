@@ -213,11 +213,12 @@ def main():
         # ISG/IST loader's native sampler) and double-buffered into the
         # scanned loop — measures sampling overlap, not just device compute
         trainer = Trainer(field, cfg, flags, scene, seed=0,
-                          stacked_host=True, steps_per_call=32)
+                          stacked_host=True, steps_per_call=32,
+                          adapt_steady=False)
     else:
         trainer = Trainer(field, cfg, flags, scene, seed=0,
                           device_sampler=scene.device_sampler(),
-                          steps_per_call=32)
+                          steps_per_call=32, adapt_steady=False)
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "

@@ -406,7 +406,7 @@ class Trainer:
     def __init__(self, field, cfg: SceneConfig, flags: ModelFlags, dataset,
                  seed: int = 42, device_sampler=None, steps_per_call: int = 16,
                  adapt_bucket: bool = True, stacked_host: bool = False,
-                 mesh=None):
+                 mesh=None, adapt_steady: bool = True):
         """device_sampler: optional (data_pytree, sample_fn) pair
         (engine/sampling.py) enabling the scanned multi-step fast path.
         stacked_host=True runs the same scanned path for host-sampling
@@ -440,6 +440,10 @@ class Trainer:
         # otherwise (measured: -0.7 train dB / -8 view dB on the texture
         # scene at 512 slots, results/r3s20/texture_cell_ftr)
         self.steady_march = cfg.steady_march_steps
+        # adapt_steady=False pins the configured lattice (bench runs measure
+        # a fixed shape; the complete_frac telemetry still reports)
+        self.adapt_steady = adapt_steady
+        self._incomplete_chunks = 0
         self._step_fns = {}
         self._loop_fns = {}
         self._stacked = bool(stacked_host) and device_sampler is None
@@ -572,14 +576,21 @@ class Trainer:
         # steady lattice are loss-masked FOREVER and the masked metrics hide
         # it (measured -0.7 train dB / -8 view dB on the texture scene at
         # 512 slots, results/r3s20/texture_cell_ftr). Double the lattice
-        # until complete (>= max_march_steps disables the skip): at most
-        # log2(max/steady) recompiles, same class as a ray-bucket
-        # adaptation. Gated on adapt_bucket so frozen-shape bench windows
-        # stay one program (telemetry still reports complete_frac).
-        if (cf < 0.99 and not self._warmup_now() and self.adapt_bucket
+        # when incompleteness PERSISTS (>= max_march_steps disables the
+        # skip): at most log2(max/steady) recompiles. The persistence
+        # requirement matters — the first post-warmup chunks are often
+        # incomplete while occupancy carves (a transient), and a premature
+        # bump is irreversible (measured -9.6% bench when the repair fired
+        # during warmup, results/r3s21/confirm_bench).
+        if cf < 0.99 and not self._warmup_now():
+            self._incomplete_chunks += 1
+        else:
+            self._incomplete_chunks = 0
+        if (self._incomplete_chunks >= 3 and self.adapt_steady
                 and 0 < self.steady_march < cfg.max_march_steps):
             self.steady_march = min(2 * self.steady_march,
                                     cfg.max_march_steps)
+            self._incomplete_chunks = 0
         if cf < 0.5 and not self._warmup_now():
             # most rays loss-masked: the masked MSE silently ignores them
             # (train metrics can even read as PSNR=inf). Rate-limited so a

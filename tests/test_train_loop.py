@@ -61,7 +61,8 @@ def test_steady_march_auto_repair():
                       device_sampler=scene.device_sampler(),
                       steps_per_call=8)
     assert trainer.steady_march == 16
-    for _ in range(10):
+    # persistence = 3 incomplete chunks per doubling; 4 doublings to max
+    for _ in range(18):
         m = trainer.run_chunk()
     # 16 slots truncate (occupied spans run from first-occupied cell to the
     # traversal end); the repair doubles per incomplete chunk up to
