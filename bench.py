@@ -223,7 +223,8 @@ def main():
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "
               f"rays={m['num_rays']} nsamp={int(m['n_samples'])} "
-              f"demand={int(m.get('n_valid', 0))}",
+              f"demand={int(m.get('n_valid', 0))} "
+              f"cf={m.get('complete_frac', 1.0):.3f}",
               file=sys.stderr, flush=True)
 
     if args.metric == "time_to_30db":
