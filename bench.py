@@ -214,11 +214,16 @@ def main():
         # scanned loop — measures sampling overlap, not just device compute
         trainer = Trainer(field, cfg, flags, scene, seed=0,
                           stacked_host=True, steps_per_call=32,
-                          adapt_steady=False)
+                          adapt_steady=args.metric == "time_to_30db")
     else:
+        # throughput mode measures the configured fixed shape; the
+        # quality-convergence metric must let the steady lattice repair
+        # itself (pinned, the ttq run measured cf=0.52 — half the rays
+        # loss-masked, results/r3s25/ttq_bench_30db)
         trainer = Trainer(field, cfg, flags, scene, seed=0,
                           device_sampler=scene.device_sampler(),
-                          steps_per_call=32, adapt_steady=False)
+                          steps_per_call=32,
+                          adapt_steady=args.metric == "time_to_30db")
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "
