@@ -213,17 +213,11 @@ def main():
         # ISG/IST loader's native sampler) and double-buffered into the
         # scanned loop — measures sampling overlap, not just device compute
         trainer = Trainer(field, cfg, flags, scene, seed=0,
-                          stacked_host=True, steps_per_call=32,
-                          adapt_steady=args.metric == "time_to_30db")
+                          stacked_host=True, steps_per_call=32)
     else:
-        # throughput mode measures the configured fixed shape; the
-        # quality-convergence metric must let the steady lattice repair
-        # itself (pinned, the ttq run measured cf=0.52 — half the rays
-        # loss-masked, results/r3s25/ttq_bench_30db)
         trainer = Trainer(field, cfg, flags, scene, seed=0,
                           device_sampler=scene.device_sampler(),
-                          steps_per_call=32,
-                          adapt_steady=args.metric == "time_to_30db")
+                          steps_per_call=32)
 
     def log(m):
         print(f"# step={trainer.step} loss={m['loss']:.4f} "
@@ -257,25 +251,36 @@ def main():
         }))
         return
 
-    # Warmup: occupancy carving (warmup-loop program), then a few chunks of
-    # bucket adaptation (steady program per visited bucket), then freeze the
-    # shape so the timed section runs exactly one cached program.
+    # Warmup: occupancy carving (warmup-loop program), then chunks of bucket
+    # + steady-lattice adaptation. The ADAPTATIONS STAY LIVE through the
+    # settle phase so the timed windows measure the SETTLED shape — with
+    # the lattice pinned at the configured value, the 1M-budget default
+    # ran at complete_frac ~0.5 (half the rays loss-masked; a throughput
+    # number on a quality-broken shape is not a number, r3s25
+    # ttq_bench_30db log). Shapes freeze after settle: one cached program
+    # per timed window.
     t_start = time.perf_counter()
+    trainer.adapt_steady = True
     while trainer.step < 320:
         log(trainer.run_chunk())
     while trainer.step < 384:
         log(trainer.run_chunk())
-    trainer.adapt_bucket = False
     print(f"# warmup+compile done in {time.perf_counter() - t_start:.0f}s "
           f"(persistent-cache misses: {cache_events['writes']}, "
           f"hits: {cache_events['hits']})",
           file=sys.stderr, flush=True)
     # Settle: the first window after compilation measures ~30% slow on the
     # tunneled chip (frequency/JIT ramp); run untimed steps until the cached
-    # program reaches steady state.
+    # program reaches steady state (and the adaptive shapes converge).
     settle_end = trainer.step + 160
     while trainer.step < settle_end:
-        trainer.run_chunk()
+        m = trainer.run_chunk()
+    trainer.adapt_bucket = False
+    trainer.adapt_steady = False
+    print(f"# settled shape: rays={trainer.bucket} "
+          f"steady_march={trainer.steady_march} "
+          f"cf={m.get('complete_frac', 1.0):.3f}",
+          file=sys.stderr, flush=True)
 
     # Timed run: mean over two windows (sustained throughput; best-of was
     # rejected as systematically optimistic — ADVICE r1).
