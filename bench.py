@@ -281,6 +281,11 @@ def main():
           f"steady_march={trainer.steady_march} "
           f"cf={m.get('complete_frac', 1.0):.3f}",
           file=sys.stderr, flush=True)
+    # the last settle chunk may have adapted the shape — run a few frozen
+    # chunks so window 0 never pays a compile (observed: 2.13M vs 3.24M
+    # windows when it did, results/r3s25/bench_l4f8_ftr131k)
+    for _ in range(3):
+        trainer.run_chunk()
 
     # Timed run: mean over two windows (sustained throughput; best-of was
     # rejected as systematically optimistic — ADVICE r1).
