@@ -174,7 +174,10 @@ def main():
                     cache_events["writes"] += 1
                 elif "cache hit" in msg or "Getting" in msg:
                     cache_events["hits"] += 1
-            return False  # count only, keep stderr clean
+                return False  # counted; suppress the hit/write chatter
+            # pass everything else through (e.g. cache WRITE FAILURES
+            # must not be swallowed — ADVICE r3 #3)
+            return True
 
     _cache_logger = logging.getLogger("jax._src.compilation_cache")
     _cache_logger.setLevel(logging.DEBUG)

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 
 
-def _ckpt_tree(state, step: int, key=None, bucket: int = 0):
+def _ckpt_tree(state, step: int, key=None, bucket: int = 0, steady: int = 0):
     if key is None:
         key = np.zeros(2, np.uint32)
     return {
@@ -27,6 +27,10 @@ def _ckpt_tree(state, step: int, key=None, bucket: int = 0):
         "step": np.asarray(step),
         "key": np.asarray(key, np.uint32),
         "bucket": np.asarray(bucket),
+        # the Trainer's adaptive steady-march lattice (0 = none recorded):
+        # without it a resumed run would drop back to the configured lattice
+        # and re-truncate until the auto-repair re-fires (ADVICE r3 #1)
+        "steady": np.asarray(steady),
     }
 
 
@@ -36,11 +40,14 @@ def _shape_meta(params) -> dict:
     return {jax.tree_util.keystr(p): list(np.shape(l)) for p, l in flat}
 
 
-def save_checkpoint(path: str, state, step: int, key=None, bucket: int = 0):
-    """Write {params, opt_state, occ, step, key, bucket} to `path` (a dir).
+def save_checkpoint(path: str, state, step: int, key=None, bucket: int = 0,
+                    steady: int = 0):
+    """Write {params, opt_state, occ, step, key, bucket, steady} to `path`
+    (a dir).
 
-    `key`/`bucket` are the Trainer's RNG key and current ray bucket; saving
-    them makes a mid-run resume bit-exact with the uninterrupted run.
+    `key`/`bucket`/`steady` are the Trainer's RNG key, current ray bucket,
+    and adaptive steady-march lattice; saving them makes a mid-run resume
+    bit-exact with the uninterrupted run.
 
     A side-car `param_shapes.json` records every parameter's shape so a load
     under a different encoder config (e.g. --hash_levels/--hash_features
@@ -52,7 +59,7 @@ def save_checkpoint(path: str, state, step: int, key=None, bucket: int = 0):
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _ckpt_tree(state, step, key, bucket), force=True)
+    ckptr.save(path, _ckpt_tree(state, step, key, bucket, steady), force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "param_shapes.json"), "w") as f:
         json.dump(_shape_meta(state.params), f)
@@ -62,12 +69,14 @@ def load_checkpoint(path: str, state) -> tuple:
     """Restore into the structure of `state`; returns (state, step).
 
     (Use `load_checkpoint_full` for the RNG key + bucket as well.)"""
-    state, step, _, _ = load_checkpoint_full(path, state)
+    state, step, _, _, _ = load_checkpoint_full(path, state)
     return state, step
 
 
 def load_checkpoint_full(path: str, state) -> tuple:
-    """Returns (state, step, key [2] uint32, bucket int).
+    """Returns (state, step, key [2] uint32, bucket int, steady int).
+    steady == 0 means the checkpoint predates the field (keep the
+    configured lattice).
 
     Raises ValueError naming the mismatched parameter shapes when the
     checkpoint was written under a different model config (the usual cause:
@@ -99,12 +108,20 @@ def load_checkpoint_full(path: str, state) -> tuple:
     try:
         restored = ckptr.restore(path, _ckpt_tree(state, 0))
     except Exception:
-        # legacy layout (pre key/bucket): restore without them
-        legacy = _ckpt_tree(state, 0)
-        legacy.pop("key"); legacy.pop("bucket")
-        restored = dict(ckptr.restore(path, legacy))
-        restored["key"] = np.zeros(2, np.uint32)
-        restored["bucket"] = np.asarray(0)
+        try:
+            # pre-steady layout
+            older = _ckpt_tree(state, 0)
+            older.pop("steady")
+            restored = dict(ckptr.restore(path, older))
+            restored["steady"] = np.asarray(0)
+        except Exception:
+            # legacy layout (pre key/bucket): restore without them
+            legacy = _ckpt_tree(state, 0)
+            legacy.pop("key"); legacy.pop("bucket"); legacy.pop("steady")
+            restored = dict(ckptr.restore(path, legacy))
+            restored["key"] = np.zeros(2, np.uint32)
+            restored["bucket"] = np.asarray(0)
+            restored["steady"] = np.asarray(0)
     occ = OccGridState(
         occs=restored["occ"]["occs"],
         binaries=restored["occ"]["binaries"],
@@ -113,4 +130,4 @@ def load_checkpoint_full(path: str, state) -> tuple:
     new_state = state._replace(params=restored["params"],
                                opt_state=restored["opt_state"], occ=occ)
     return (new_state, int(restored["step"]), restored["key"],
-            int(restored["bucket"]))
+            int(restored["bucket"]), int(restored["steady"]))

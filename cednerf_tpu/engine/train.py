@@ -622,11 +622,17 @@ class Trainer:
         the exact step/RNG/bucket sequence of the uninterrupted run."""
         from .checkpoint import load_checkpoint_full
 
-        self.state, self.step, key, bucket = load_checkpoint_full(
+        self.state, self.step, key, bucket, steady = load_checkpoint_full(
             path, self.state)
         self.key = jnp.asarray(key, jnp.uint32)
         if bucket:
             self.bucket = bucket
+        if steady:
+            # restore the adaptive empty-space-skip lattice (ADVICE r3 #1):
+            # without it a resumed run re-truncates spanning rays until the
+            # auto-repair re-fires
+            self.steady_march = steady
+            self._incomplete_chunks = 0
         return self.step
 
     def run(self, total_steps: int, log_every: int = 10000, log_fn=print,
@@ -656,7 +662,7 @@ class Trainer:
             if (checkpoint_every and checkpoint_dir
                     and self.step - last_ckpt >= checkpoint_every):
                 save_checkpoint(checkpoint_dir, self.state, self.step,
-                                self.key, self.bucket)
+                                self.key, self.bucket, self.steady_march)
                 last_ckpt = self.step
             if log_every and (self.step % log_every <
                               (self.steps_per_call if self.device_sampler else 1)):

@@ -1631,9 +1631,13 @@ def brick_encode(x, params, spec: BrickGridSpec, t: Optional[jnp.ndarray] = None
     if spec.interp_impl == "dma":
         from .pallas_fused import DMA_LANES, dma_tile
         # grid <= the k9 crash bound AND F=4 (32F must equal the 128-lane
-        # DMA row width the remote Mosaic build accepts — bisect k18)
+        # DMA row width the remote Mosaic build accepts — bisect k18) AND
+        # bf16 compute: dma128_view moves bf16-valued bytes, so with
+        # compute_dtype=float32 it would silently quantize f32 tables and
+        # diverge from the f32 gather path (ADVICE r3 #2)
         dma_ok = (dma_tile(n, 512) is not None
-                  and 32 * spec.n_features == DMA_LANES)
+                  and 32 * spec.n_features == DMA_LANES
+                  and jnp.dtype(compute_dtype) == jnp.bfloat16)
     else:
         dma_ok = True
     if (use_custom_vjp and spec.interp_impl in ("pallas", "dma")

@@ -87,7 +87,12 @@ def dma128_view(table) -> jnp.ndarray:
 
     bf16 is the compute/parity dtype (the XLA gather path also computes at
     bf16); the f32 bitcast view is bit-identical bytes, shaped to the
-    128-lane row the remote compiler accepts (bisect k11/k23)."""
+    128-lane row the remote compiler accepts (bisect k11/k23).
+
+    The view carries bf16-VALUED bytes: an f32 table is quantized to bf16
+    first, so this path only matches the XLA gather path when the compute
+    dtype is bf16 — callers must gate on that (brick_grid dispatch does;
+    ADVICE r3 #2)."""
     t16 = table.astype(jnp.bfloat16)
     r, w = t16.shape
     return jax.lax.bitcast_convert_type(

@@ -189,7 +189,7 @@ def main():
                     checkpoint_every=args.ckpt_every)
         state = trainer.state
         save_checkpoint(args.model_path, state, trainer.step,
-                        trainer.key, trainer.bucket)
+                        trainer.key, trainer.bucket, trainer.steady_march)
         print(f"train time: {time.time() - tic:.2f}s; saved {args.model_path}")
 
         # evaluation (train_real.py:443-520)
