@@ -229,21 +229,38 @@ def main():
               f"cf={m.get('complete_frac', 1.0):.3f}",
               file=sys.stderr, flush=True)
 
-    if args.metric == "time_to_30db":
+    def run_ttq(threshold_db: float = 30.0):
         # seconds-to-quality from a cold start, compile included — the
-        # number a user actually waits for (reference contract shape).
-        # vs_baseline uses the reference's 425 s to its final PSNR on
-        # vrig_3dprinter as the scale anchor (different scene; the anchor
-        # makes the unit comparable across rounds, not across codebases).
+        # number a user actually waits for (reference contract shape,
+        # run_hyper.sh:3,6,9,12). vs_baseline uses the reference's 425 s
+        # to its final PSNR on vrig_3dprinter as the scale anchor
+        # (different scene; the anchor makes the unit comparable across
+        # rounds, not across codebases). The adaptive shape machinery
+        # (bucket + steady-march auto-repair) stays LIVE — this measures
+        # the production trainer, quality-complete by construction.
+        ttq_tr = Trainer(field, cfg, flags, scene, seed=0,
+                         device_sampler=scene.device_sampler(),
+                         steps_per_call=32)
         t0 = time.perf_counter()
         t_hit = None
-        while trainer.step < 20000:
-            m = trainer.run_chunk()
-            if float(m["psnr"]) >= 30.0:
+        while ttq_tr.step < 20000:
+            m = ttq_tr.run_chunk()
+            if float(m["psnr"]) >= threshold_db:
                 t_hit = time.perf_counter() - t0
                 break
-            if trainer.step % 512 == 0:
-                log(m)
+            if ttq_tr.step % 512 == 0:
+                print(f"# ttq step={ttq_tr.step} psnr={float(m['psnr']):.2f} "
+                      f"cf={m.get('complete_frac', 1.0):.3f}",
+                      file=sys.stderr, flush=True)
+        if t_hit is not None:
+            print(f"# ttq: {threshold_db:g} dB at {t_hit:.1f}s "
+                  f"(step {ttq_tr.step}, cf="
+                  f"{m.get('complete_frac', 1.0):.3f})",
+                  file=sys.stderr, flush=True)
+        return t_hit, ttq_tr.step
+
+    if args.metric == "time_to_30db":
+        t_hit, _ = run_ttq()
         if t_hit is None:
             print(json.dumps({"metric": "time_to_30db", "value": -1,
                               "unit": "s", "vs_baseline": 0.0}))
@@ -253,6 +270,16 @@ def main():
             "vs_baseline": round(425.14 / t_hit, 3),
         }))
         return
+
+    # Default run = BOTH contracts in one JSON line (VERDICT r3 next #3):
+    # seconds-to-quality first (cold start, compile included — it also
+    # pre-warms every train program for the throughput phase), then the
+    # settled samples/s windows. CEDNERF_BENCH_SKIP_TTQ=1 skips phase 1
+    # for quick A/B arms.
+    ttq_s = ttq_step = None
+    if (args.shape == "dnerf"
+            and os.environ.get("CEDNERF_BENCH_SKIP_TTQ") != "1"):
+        ttq_s, ttq_step = run_ttq()
 
     # Warmup: occupancy carving (warmup-loop program), then chunks of bucket
     # + steady-lattice adaptation. The ADAPTATIONS STAY LIVE through the
@@ -310,12 +337,22 @@ def main():
               file=sys.stderr, flush=True)
     samples_per_sec = sum(rates) / len(rates)
     suffix = "" if args.shape == "dnerf" else f"_{args.shape}"
-    print(json.dumps({
+    out = {
         "metric": "train_samples_per_sec" + suffix,
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+        # quality-completeness provenance of the timed windows (a number
+        # measured at cf < 1 is a number on a loss-masked shape)
+        "complete_frac": round(float(m.get("complete_frac", 1.0)), 3),
+    }
+    if ttq_s is not None:
+        # the reference's own published contract shape: seconds-to-PSNR
+        # (run_hyper.sh). Anchor: 425.14 s (vrig_3dprinter train time).
+        out["time_to_30db_s"] = round(ttq_s, 1)
+        out["ttq_step"] = int(ttq_step)
+        out["ttq_vs_baseline"] = round(425.14 / ttq_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -134,6 +134,16 @@ class SceneConfig:
     # scales down by steady_march_steps/max_march_steps. Uniform-step
     # configs only (cone_angle == 0); ignored otherwise.
     steady_march_steps: int = 0
+    # shrink-from-full steady-march adaptation (round-4 inversion of the
+    # fixed-lattice skip whose "+8%" was measured to be hidden truncation,
+    # PERF_PLAN s25): the Trainer STARTS at the full lattice (no truncation
+    # transient ever) and, once steady-state complete_frac holds at 1.0,
+    # SHRINKS the lattice to the measured occupied-span maximum plus a
+    # coarse-probe margin (span_slots telemetry). The existing doubling
+    # auto-repair recovers if occupancy later grows. Uniform-step configs
+    # with steady_march_steps == 0 only; an explicit steady_march_steps
+    # pins the old behavior.
+    steady_march_auto: bool = True
     occ_update_interval: int = 16       # nerfacc update_every_n_steps default
     occ_warmup_steps: int = 256
     occ_thre: float = 1e-2
@@ -143,7 +153,11 @@ class SceneConfig:
     dataset_factor: int = 1
     add_cam: bool = False
     eval_s_max: int = 256               # per-ray sample cap for eval rendering
-    eval_chunk: int = 4096              # rays per eval chunk
+    eval_chunk: int = 4096              # rays per eval chunk (lattice path)
+    # rays per chunk for the segment-compacted eval path: its per-chunk
+    # fixed costs (coarse probes, pooled grid, dispatch round-trip) amortize
+    # over much larger chunks than the lattice marcher's could afford
+    eval_chunk_seg: int = 32768
     # the ray-count feedback targets demand = this fraction of sample_budget,
     # leaving headroom so budget overflow (dropped rays) stays rare
     budget_headroom: float = 0.95

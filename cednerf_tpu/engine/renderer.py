@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..ops.occupancy import (OccGridState, RayCandidates, RaySamples,
                              coarse_lookup, march_candidates, march_rays,
                              march_t_lattice, occupancy_lookup,
-                             pooled_binaries)
+                             pooled_binaries, ray_aabb_intersect)
 from ..ops.render import composite, reduce_along_rays, render_weights_from_density
 from ..ops.segments import segment_broadcast
 from .config import SceneConfig
@@ -835,9 +835,210 @@ def render_rays(
                         extras=extras)
 
 
+def _seg_dilate(cfg: SceneConfig, seg: int, pool: int) -> int:
+    """Coarse-grid dilation that makes one segment-midpoint probe a superset
+    test: every fine sample of the segment lies within `dilate` coarse cells
+    of the probe's cell. Bound: half a segment plus a fine-cell diagonal,
+    measured in level-0 coarse cells (the finest level binds; outer nested
+    levels have 2x larger cells at the same pool)."""
+    import math
+
+    aabb = cfg.aabb
+    size = min(aabb[3] - aabb[0], aabb[4] - aabb[1], aabb[5] - aabb[2])
+    cell = size / cfg.grid_resolution
+    coarse_cell = cell * pool
+    reach = seg * cfg.render_step_size / 2.0 + math.sqrt(3.0) * cell
+    return max(1, int(math.ceil(reach / coarse_cell)))
+
+
+def make_eval_render_fn_seg(field, cfg: SceneConfig,
+                            s_max: Optional[int] = None,
+                            budget_per_ray: int = 64,
+                            early_stop_eps: float = 1e-4,
+                            seg: int = 8, pool: int = 4):
+    """Segment-compacted eval renderer: the fast inference path.
+
+    The lattice marcher (make_eval_render_fn budgeted path) pays occupancy
+    gathers + scatters on the FULL [C, max_march_steps] candidate lattice
+    per chunk — at 800x800 that is 665M lattice slots/frame and measured
+    17-38 s/frame (results/r3s25/eval_800_*). This path replaces the
+    per-sample lattice with nerfacc-style grid traversal economics
+    (reference: traverse_grids + the alive-ray loop, cednerf/utils.py:229-308),
+    rebuilt TPU-first:
+
+      * occupancy is probed per `seg`-step SEGMENT against a pooled+dilated
+        coarse grid (a conservative superset — ops/occupancy.py
+        pooled_binaries), an 8x cut in probe rows; multi-level grids probe
+        3 points per segment (the nested-level boundary caveat of
+        march_segments, quantified by tests against the dense path);
+      * occupied segments are cross-ray compacted (rayfold) to a fixed
+        [budget_per_ray*C/seg] buffer per pass; fine per-sample occupancy
+        and the field run ONLY inside selected segments;
+      * compositing is packed (per-ray boundary differences of one [B+1, 5]
+        cumsum) with per-ray transmittance carried across passes — no dense
+        [C, M] scatter-back and no full-lattice transmittance scan;
+      * a lax.while_loop repeats until every segment is consumed, a ray's
+        transmittance drops below `early_stop_eps`, or its first `s_max`
+        valid samples (exact, t-ordered — the viewer's samples slider) are
+        rendered.
+
+    Uniform-step schedules only (cone_angle == 0): segment t's reconstruct
+    from the segment index, so no [C, M] t-lattice is ever materialized,
+    and the pooled superset bound needs fixed-length segments.
+    """
+    import math
+
+    assert cfg.cone_angle == 0.0, "seg eval path: uniform steps only"
+    s_max = s_max or cfg.eval_s_max
+    step = cfg.render_step_size
+    m = cfg.max_march_steps
+    ms = -(-m // seg)
+    seg_len = seg * step
+    dilate = _seg_dilate(cfg, seg, pool)
+    from ..utils.math import exclusive_cumsum
+
+    @jax.jit
+    def render_chunk(params, occ_state: OccGridState, origins, viewdirs,
+                     timestamp, render_bkgd):
+        c = origins.shape[0]
+        nseg = c * ms
+        b_seg = max((budget_per_ray * c) // seg, 8)
+        b_seg = min(-(-b_seg // 8) * 8, -(-nseg // 8) * 8)
+        b = b_seg * seg
+        multi_level = occ_state.levels > 1
+
+        coarse = pooled_binaries(occ_state, pool=pool, dilate=dilate)
+        t_min, t_max = ray_aabb_intersect(origins, viewdirs,
+                                          occ_state.aabbs[-1])
+        t_min = jnp.maximum(t_min, cfg.near_plane)
+        t_max = jnp.minimum(t_max, cfg.far_plane)
+
+        # ---- coarse segment probes (once per chunk) ----
+        s = jnp.arange(ms, dtype=jnp.float32)
+        t_lo = t_min[:, None] + s[None, :] * seg_len                 # [C, Ms]
+        t_hi = jnp.maximum(jnp.minimum(t_lo + seg_len, t_max[:, None]), t_lo)
+        fracs = (0.25, 0.5, 0.75) if multi_level else (0.5,)
+        hit = None
+        for f in fracs:
+            tm = t_lo + f * (t_hi - t_lo)
+            pos = origins[:, None, :] + viewdirs[:, None, :] * tm[..., None]
+            h = coarse_lookup(occ_state, coarse, pos)
+            hit = h if hit is None else (hit | h)
+        seg_valid = (t_lo < t_max[:, None]) & hit                    # [C, Ms]
+
+        ray_info = jnp.concatenate(
+            [origins, viewdirs, t_min[:, None], t_max[:, None]], axis=-1)
+        tq = jnp.full((b, 1), jnp.reshape(timestamp, ()), jnp.float32)
+        k_off = jnp.arange(seg, dtype=jnp.int32)[None, :]            # [1, seg]
+
+        def one_pass(carry):
+            remaining, trans, emitted, acc = carry
+            sel, kept = compact_select_rayfold(remaining, b_seg)
+            seg_ok = sel < nseg
+            sel_c = jnp.minimum(sel, nseg - 1)
+            ray = sel_c // ms
+            sidx = sel_c % ms
+
+            ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=True)
+            o, d = ri[:, 0:3], ri[:, 3:6]
+            tmin_r, tmax_r = ri[:, 6], ri[:, 7]
+            jj = sidx[:, None] * seg + k_off                         # [SB, seg]
+            t0_s = tmin_r[:, None] + jj.astype(jnp.float32) * step
+            t_pos = jnp.minimum(t0_s, tmax_r[:, None])  # clamp padding slots
+            pos = o[:, None, :] + d[:, None, :] * (t_pos + 0.5 * step)[..., None]
+            fine_valid = (occupancy_lookup(occ_state, pos)
+                          & (t0_s < tmax_r[:, None]) & seg_ok[:, None])
+
+            # per-ray contiguous layout in the [B] sample buffer
+            counts_seg = jnp.sum(kept, axis=-1).astype(jnp.int32)    # [C]
+            starts_seg = jnp.cumsum(counts_seg) - counts_seg
+            sample_start = jnp.minimum(starts_seg, b_seg) * seg      # [C]
+            sample_end = jnp.minimum(starts_seg + counts_seg, b_seg) * seg
+
+            # exact per-ray s_max cap: rank of each fine-valid sample within
+            # its ray (flat order is ray-major / t-ascending). The cap
+            # counts pre-alpha-prune candidates, like the lattice path's
+            # `cumsum(valid) <= s_max`.
+            fv = fine_valid.reshape(-1).astype(jnp.int32)            # [B]
+            ex_fv = exclusive_cumsum(fv, axis=0)
+            ex_fv_ext = jnp.concatenate([ex_fv, jnp.sum(fv)[None]])
+            base_rank = jnp.take(ex_fv_ext, sample_start)            # [C]
+            rank = ex_fv.reshape(-1, seg) - jnp.take(base_rank, ray)[:, None]
+            em_slot = jnp.take(emitted, ray)                         # [SB]
+            keep_cap = fine_valid & ((em_slot[:, None] + rank) < s_max)
+
+            # field on every slot of the selected segments (masked); the
+            # ~40% fine-invalid slots trade a second compaction's cost +
+            # bookkeeping for wasted forward rows (profile_eval2 measures)
+            rgb_c, res_c = field.apply(
+                params, pos.reshape(b, 3), tq,
+                jnp.broadcast_to(d[:, None, :], (b_seg, seg, 3)).reshape(b, 3),
+                return_internal=False)
+            sig = res_c["density"].astype(jnp.float32).reshape(-1, seg)
+            keep = keep_cap
+            if cfg.alpha_thre > 0:
+                alpha_raw = 1.0 - jnp.exp(-sig * step)
+                keep = keep & (alpha_raw > cfg.alpha_thre)
+            keep_f = keep.astype(jnp.float32)
+            sigmas = jnp.where(keep, sig, 0.0)
+
+            sdelta = (sigmas * step).reshape(-1)                     # [B]
+            ex_sd = exclusive_cumsum(sdelta, axis=0)
+            ex_sd_ext = jnp.concatenate([ex_sd, jnp.sum(sdelta)[None]])
+            base_sd = jnp.take(ex_sd_ext, sample_start)              # [C]
+            t_slot = (jnp.take(trans, ray)[:, None]
+                      * jnp.exp(-jnp.maximum(
+                          ex_sd.reshape(-1, seg)
+                          - jnp.take(base_sd, ray)[:, None], 0.0)))
+            alphas = 1.0 - jnp.exp(-sigmas * step)
+            w = t_slot * alphas * keep_f                             # [SB, seg]
+
+            t_mid = t0_s + 0.5 * step
+            chans = jnp.concatenate(
+                [w[..., None] * rgb_c.astype(jnp.float32).reshape(-1, seg, 3),
+                 w[..., None],
+                 (w * t_mid)[..., None]], axis=-1).reshape(b, 5)
+            z = jnp.cumsum(chans, axis=0)
+            z_ext = jnp.concatenate([jnp.zeros((1, 5), jnp.float32), z],
+                                    axis=0)
+            sums = (jnp.take(z_ext, sample_end, axis=0)
+                    - jnp.take(z_ext, sample_start, axis=0))         # [C, 5]
+            acc = acc + sums
+
+            # per-ray updates (emitted counts the pre-alpha cap candidates)
+            kcs = jnp.cumsum(keep_cap.reshape(-1).astype(jnp.float32))
+            kcs_ext = jnp.concatenate([jnp.zeros((1,), jnp.float32), kcs])
+            n_new = (jnp.take(kcs_ext, sample_end)
+                     - jnp.take(kcs_ext, sample_start)).astype(jnp.int32)
+            emitted = emitted + n_new
+            od = (jnp.take(ex_sd_ext, sample_end)
+                  - jnp.take(ex_sd_ext, sample_start))
+            trans = trans * jnp.exp(-od)
+            alive = (trans > early_stop_eps) & (emitted < s_max)
+            remaining = remaining & jnp.logical_not(kept) & alive[:, None]
+            return remaining, trans, emitted, acc
+
+        init = (seg_valid, jnp.ones((c,), jnp.float32),
+                jnp.zeros((c,), jnp.int32), jnp.zeros((c, 5), jnp.float32))
+        _, _, _, acc = jax.lax.while_loop(
+            lambda cr: jnp.any(cr[0]), one_pass, init)
+        opacity = acc[:, 3:4]
+        depth = acc[:, 4:5] / jnp.maximum(opacity,
+                                          jnp.float32(1.1920929e-07))
+        rgb = acc[:, 0:3] + render_bkgd * (1.0 - opacity)
+        return rgb, opacity, depth
+
+    return render_chunk
+
+
+def eval_chunk_for(cfg: SceneConfig) -> int:
+    """Rays per eval chunk matching make_eval_render_fn's impl="auto" pick."""
+    return (cfg.eval_chunk_seg if cfg.cone_angle == 0.0 else cfg.eval_chunk)
+
+
 def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
                         budgeted: bool = True, budget_per_ray: int = 64,
-                        early_stop_eps: float = 1e-4):
+                        early_stop_eps: float = 1e-4, impl: str = "auto"):
     """Jitted chunk renderer for full-image evaluation.
 
     Returns fn(params, occ_state, origins [C,3], viewdirs [C,3], timestamp
@@ -863,8 +1064,19 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
 
     budgeted=False keeps the single-pass dense [C, s_max] lattice path
     (reference shape for tests).
+
+    impl: "auto" dispatches budgeted rendering to the segment-compacted
+    fast path (make_eval_render_fn_seg) when the step schedule is uniform
+    (cone_angle == 0); "seg"/"lattice" force a path. The lattice marcher
+    stays as the cone-angle fallback and the A/B reference.
     """
     s_max = s_max or cfg.eval_s_max
+    if impl == "auto":
+        impl = "seg" if (budgeted and cfg.cone_angle == 0.0) else "lattice"
+    if impl == "seg" and budgeted:
+        return make_eval_render_fn_seg(
+            field, cfg, s_max=s_max, budget_per_ray=budget_per_ray,
+            early_stop_eps=early_stop_eps)
 
     @jax.jit
     def render_chunk(params, occ_state: OccGridState, origins, viewdirs, timestamp,

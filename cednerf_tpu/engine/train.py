@@ -137,6 +137,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
         occ_mean = occ_mean_value(state.occ)
 
         if use_seg:
+            span_slots = jnp.float32(0.0)
             ps = march_segments(
                 state.occ, batch["origins"], batch["viewdirs"],
                 batch["timestamps"],
@@ -168,6 +169,16 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
                 probe_steps=cfg.max_march_steps if skip_empty else 0,
             )
             n_valid_full = jnp.sum(cand.valid)
+            # occupied-span telemetry for the shrink-from-full steady-march
+            # adaptation (Trainer): the lattice slots a steady lattice must
+            # cover = last valid slot + 1, measured from the first occupied
+            # 8-slot segment (advance_t_min skips whole segment quanta)
+            any_v = jnp.any(cand.valid, axis=-1)
+            last_v = (cand.valid.shape[1] - 1
+                      - jnp.argmax(cand.valid[:, ::-1], axis=-1))
+            first_v = jnp.argmax(cand.valid, axis=-1)
+            span = jnp.where(any_v, last_v + 1 - (first_v // 8) * 8, 0)
+            span_slots = jnp.max(span).astype(jnp.float32)
             if s_cap and s_cap < cfg.max_march_steps:
                 cand, fits = pack_candidates(cand, s_cap)
             else:
@@ -276,6 +287,7 @@ def _make_one_step(field, cfg: SceneConfig, flags: ModelFlags, budget: int, tx,
             "n_valid": aux["n_valid"].astype(jnp.float32),
             "max_depth": aux["max_depth"],
             "complete_frac": aux["complete_frac"],
+            "span_slots": span_slots,
         }
         return TrainState(params=params, opt_state=opt_state, occ=state.occ), metrics
 
@@ -444,6 +456,9 @@ class Trainer:
         # a fixed shape; the complete_frac telemetry still reports)
         self.adapt_steady = adapt_steady
         self._incomplete_chunks = 0
+        # shrink-from-full bookkeeping (cfg.steady_march_auto)
+        self._complete_chunks = 0
+        self._shrink_cooldown = 0
         self._step_fns = {}
         self._loop_fns = {}
         self._stacked = bool(stacked_host) and device_sampler is None
@@ -471,6 +486,16 @@ class Trainer:
 
     def _warmup_now(self) -> bool:
         return self.step < self.cfg.occ_warmup_steps
+
+    def _steady_margin(self) -> int:
+        """Lattice slots advance_t_min's coarse probe can fire EARLY by:
+        the probe is occupied within (dilate+1)*pool fine cells (diagonal)
+        of real occupancy, plus one 8-slot segment quantum."""
+        cfg = self.cfg
+        a = cfg.aabb
+        cell = min(a[3] - a[0], a[4] - a[1], a[5] - a[2]) / cfg.grid_resolution
+        reach = 2 * 4 * cell * 1.7320508  # (dilate+1)=2, pool=4, diagonal
+        return int(np.ceil(reach / cfg.render_step_size)) + 8
 
     def _step_fn(self):
         if "step" not in self._step_fns:
@@ -591,6 +616,31 @@ class Trainer:
             self.steady_march = min(2 * self.steady_march,
                                     cfg.max_march_steps)
             self._incomplete_chunks = 0
+        # shrink-from-full (PERF_PLAN s25 inversion): start at the full
+        # lattice, and once complete_frac holds at ~1.0 for 3 chunks,
+        # shrink to the measured occupied-span maximum + the coarse-probe
+        # margin. Never truncates by construction (span is the measured
+        # max; the margin covers advance_t_min's conservative earliness);
+        # if occupancy later grows, the doubling repair above recovers.
+        if (self.adapt_steady and cfg.steady_march_auto
+                and cfg.steady_march_steps == 0 and cfg.cone_angle == 0.0
+                and cfg.max_march_steps >= 256 and not self._warmup_now()):
+            self._shrink_cooldown -= 1
+            if cf >= 0.995:
+                self._complete_chunks += 1
+            else:
+                self._complete_chunks = 0
+            span = float(jnp.max(metrics.get("span_slots", 0.0)))
+            cur = self.steady_march or cfg.max_march_steps
+            if (self._complete_chunks >= 3 and self._shrink_cooldown <= 0
+                    and span > 0):
+                target = int(-(-(span + self._steady_margin()) // 64) * 64)
+                target = max(target, 128)
+                if target < cur * 0.75 and target < cfg.max_march_steps:
+                    self.steady_march = target
+                    self._complete_chunks = 0
+                    # re-evaluate only occasionally: each shrink recompiles
+                    self._shrink_cooldown = 64
         if cf < 0.5 and not self._warmup_now():
             # most rays loss-masked: the masked MSE silently ignores them
             # (train metrics can even read as PSNR=inf). Rate-limited so a

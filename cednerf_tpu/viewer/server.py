@@ -130,7 +130,8 @@ class ViewerServer:
                  render_bkgd=None):
         import jax.numpy as jnp
 
-        from ..engine.renderer import make_eval_render_fn, render_image
+        from ..engine.renderer import (eval_chunk_for, make_eval_render_fn,
+                                       render_image)
         from ..utils.metrics import depth_to_img
 
         self.field = field
@@ -145,6 +146,7 @@ class ViewerServer:
         self._jnp = jnp
         self._render_fns = {}
         self._make_eval_render_fn = make_eval_render_fn
+        self._eval_chunk_for = eval_chunk_for
         self.render_bkgd = (jnp.asarray(render_bkgd) if render_bkgd is not None
                             else jnp.zeros(3))
         # fallback intrinsics: 50deg fov
@@ -177,7 +179,8 @@ class ViewerServer:
         rgb, opac, dep = self._render_image(
             self.field, self.params, self.occ, self._render_fn(max_samples),
             origins.reshape(h, w, 3), viewdirs.reshape(h, w, 3),
-            jnp.float32(t), self.render_bkgd, chunk=self.cfg.eval_chunk)
+            jnp.float32(t), self.render_bkgd,
+            chunk=self._eval_chunk_for(self.cfg))
         if depth_view:
             return self._depth_to_img(dep[..., 0])
         return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)

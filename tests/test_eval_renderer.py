@@ -100,3 +100,50 @@ def test_s_max_caps_per_ray_samples():
     assert (opac_cap <= opac_full + 1e-5).all()
     # this scene marches every ray through >4 occupied cells
     assert opac_cap.sum() < opac_full.sum()
+
+
+def test_seg_matches_dense_sparse_occupancy():
+    """Segment-compacted path vs dense on a SPARSE random grid: the coarse
+    segment probe must be a superset (no valid sample may be dropped)."""
+    cfg, field, params, occ, o, d, bkgd = _setup(seed=5)
+    rng = np.random.default_rng(7)
+    bins = rng.random(occ.binaries.shape) < 0.12
+    occ = occ._replace(binaries=jnp.asarray(bins))
+    dense = make_eval_render_fn(field, cfg, budgeted=False)
+    seg = make_eval_render_fn(field, cfg, budget_per_ray=4,
+                              early_stop_eps=-1.0, impl="seg")
+    r0 = _run(dense, params, occ, o, d, bkgd)
+    r1 = _run(seg, params, occ, o, d, bkgd)
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_seg_matches_dense_multilevel():
+    """Nested 2-level grid: the 3-probe coarse test must still cover the
+    level-boundary segments (exact fine validity catches the rest)."""
+    from cednerf_tpu.ops.occupancy import create_occ_grid
+
+    cfg, field, params, occ1, o, d, bkgd = _setup(seed=6)
+    occ = create_occ_grid(cfg.aabb, cfg.grid_resolution, levels=2)
+    rng = np.random.default_rng(8)
+    bins = rng.random(occ.binaries.shape) < 0.15
+    occ = occ._replace(binaries=jnp.asarray(bins))
+    dense = make_eval_render_fn(field, cfg, budgeted=False)
+    seg = make_eval_render_fn(field, cfg, budget_per_ray=8,
+                              early_stop_eps=-1.0, impl="seg")
+    r0 = _run(dense, params, occ, o, d, bkgd)
+    r1 = _run(seg, params, occ, o, d, bkgd)
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_seg_matches_lattice_with_alpha_thre():
+    cfg, field, params, occ, o, d, bkgd = _setup(seed=4, alpha_thre=1e-3)
+    lat = make_eval_render_fn(field, cfg, budget_per_ray=8,
+                              early_stop_eps=-1.0, impl="lattice")
+    seg = make_eval_render_fn(field, cfg, budget_per_ray=8,
+                              early_stop_eps=-1.0, impl="seg")
+    r0 = _run(lat, params, occ, o, d, bkgd)
+    r1 = _run(seg, params, occ, o, d, bkgd)
+    for a, b in zip(r0, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

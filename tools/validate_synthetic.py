@@ -81,7 +81,8 @@ def main():
     from synthetic_scene import BallCloudScene, BallScene
     from cednerf_tpu.engine.cli import build_field
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config
-    from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+    from cednerf_tpu.engine.renderer import (eval_chunk_for, make_eval_render_fn,
+                                             render_image)
     from cednerf_tpu.engine.train import Trainer
     from cednerf_tpu.utils.metrics import psnr
 
@@ -166,7 +167,8 @@ def main():
     tv = scene.image_rays(0, t_train)
     rgb_tv, _, _ = render_image(field, trainer.state.params, trainer.state.occ,
                                 render_fn, tv["origins"], tv["viewdirs"],
-                                jnp.float32(t_train), jnp.ones(3))
+                                jnp.float32(t_train), jnp.ones(3),
+                                chunk=eval_chunk_for(cfg))
     train_view_psnr = float(psnr(jnp.asarray(rgb_tv), jnp.asarray(tv["pixels"])))
 
     # Held-out eval: novel camera angle + mid-time (not in the train set).
@@ -179,7 +181,8 @@ def main():
     gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=t_eval)
     rgb, _, _ = render_image(field, trainer.state.params, trainer.state.occ,
                              render_fn, origins, viewdirs,
-                             jnp.float32(t_eval), jnp.ones(3))
+                             jnp.float32(t_eval), jnp.ones(3),
+                             chunk=eval_chunk_for(cfg))
     eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
 
     result = {

@@ -77,7 +77,8 @@ def main():
     enable_compile_cache()
 
     from cednerf_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
-    from cednerf_tpu.engine.renderer import make_eval_render_fn, render_image
+    from cednerf_tpu.engine.renderer import (eval_chunk_for, make_eval_render_fn,
+                                              render_image)
     from cednerf_tpu.engine.train import Trainer, create_train_state
     from cednerf_tpu.utils.image import write_png, write_video
     from cednerf_tpu.utils.metrics import depth_to_img, ms_ssim, psnr
@@ -200,7 +201,7 @@ def main():
             rgb, acc, depth = render_image(
                 field, state.params, state.occ, render_chunk,
                 data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
-                jnp.asarray(data["color_bkgd"]), chunk=cfg.eval_chunk,
+                jnp.asarray(data["color_bkgd"]), chunk=eval_chunk_for(cfg),
             )
             psnrs.append(float(psnr(jnp.asarray(rgb), jnp.asarray(data["pixels"]))))
             ssims.append(float(ms_ssim(jnp.asarray(rgb),
@@ -223,7 +224,7 @@ def main():
             rgb, acc, depth = render_image(
                 field, state.params, state.occ, render_chunk,
                 data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
-                bkgd, chunk=cfg.eval_chunk,
+                bkgd, chunk=eval_chunk_for(cfg),
             )
             rgb_frames.append(np.flip((rgb * 255).astype(np.uint8), axis=1))
             depth_frames.append(np.flip(depth_to_img(depth), axis=1))
