@@ -29,15 +29,22 @@ from .renderer import render_rays
 from .train import make_optimizer
 
 
-def make_prop_optimizer(cfg: SceneConfig):
+def make_prop_optimizer(cfg: SceneConfig, grad_clip: float = 0.0):
     """The prop-path optimizer: Adam under a skip-nonfinite wrapper — the
     reference's AMP GradScaler semantics (train_real.py:412-419 skips steps
     whose scaled grads go inf/nan; SURVEY N9). Without it one bad step
     poisons the params forever — observed: the s20 ttq_prop arm hit 30 dB
     at step 112 then diverged to NaN near step 1k and never recovered
-    (results/r3s20/ttq_prop_4k.log)."""
-    return optax.apply_if_finite(make_optimizer(cfg),
-                                 max_consecutive_errors=1000)
+    (results/r3s20/ttq_prop_4k.log).
+
+    grad_clip > 0 prepends global-norm clipping: the skip-nonfinite wrapper
+    alone did NOT stop the ~step-1.2k divergence (r4s28 — the loss itself
+    goes NaN from a finite-params forward, so the skip just freezes
+    training); clipping bounds the pre-overflow parameter growth."""
+    inner = make_optimizer(cfg)
+    if grad_clip > 0:
+        inner = optax.chain(optax.clip_by_global_norm(grad_clip), inner)
+    return optax.apply_if_finite(inner, max_consecutive_errors=1000)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +57,11 @@ class PropConfig:
     unbounded: bool = False
     sampling_type: str = "uniform"  # bounded scenes sample uniformly in t
     anneal_steps: int = 1000
+    # global-norm gradient clip (0 = off) — see make_prop_optimizer
+    grad_clip: float = 0.0
+    # NaN-source telemetry in the step metrics (sigma_max / w_max /
+    # finite flags) for divergence diagnosis
+    debug: bool = False
 
     @classmethod
     def for_family(cls, family: str) -> "PropConfig":
@@ -77,7 +89,8 @@ def build_prop_networks(cfg: SceneConfig, pcfg: PropConfig):
     )
 
 
-def create_prop_train_state(field, props, cfg: SceneConfig, key) -> PropTrainState:
+def create_prop_train_state(field, props, cfg: SceneConfig, key,
+                            pcfg: PropConfig = None) -> PropTrainState:
     keys = jax.random.split(key, len(props) + 1)
     x = jnp.zeros((8, 3))
     t = jnp.zeros((8, 1))
@@ -86,7 +99,7 @@ def create_prop_train_state(field, props, cfg: SceneConfig, key) -> PropTrainSta
         "field": field.init(keys[0], x, t, d, return_internal=True),
         "props": tuple(p.init(k, x) for p, k in zip(props, keys[1:])),
     }
-    tx = make_prop_optimizer(cfg)
+    tx = make_prop_optimizer(cfg, pcfg.grad_clip if pcfg else 0.0)
     return PropTrainState(params=params, opt_state=tx.init(params))
 
 
@@ -94,7 +107,7 @@ def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
                          pcfg: PropConfig):
     """Un-jitted proposal-path step body (shared by the single-step fn and
     the scanned multi-step loop)."""
-    tx = make_prop_optimizer(cfg)
+    tx = make_prop_optimizer(cfg, pcfg.grad_clip)
     aabb = np.asarray(cfg.aabb, np.float32)
 
     def train_step(state: PropTrainState, batch, key, step):
@@ -154,7 +167,16 @@ def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
                 loss += jnp.mean(extras["latent_losses"])
             if flags.use_weight_predict:
                 loss += jnp.mean(extras["weight_losses"])
-            return loss, {"mse": mse, "n_samples": out.n_samples}
+            aux = {"mse": mse, "n_samples": out.n_samples}
+            if pcfg.debug:
+                # NaN-source ordering: which quantity blows up first, and
+                # at what step (r4s28: loss NaN at ~1.28k despite the
+                # skip-nonfinite optimizer)
+                aux["sigma_max"] = jnp.max(extras["sigmas"])
+                aux["w_max"] = jnp.max(extras["weights"])
+                aux["t_finite"] = jnp.all(jnp.isfinite(t0)).astype(jnp.float32)
+                aux["prop_w_max"] = jnp.max(records[0].weights)
+            return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -165,6 +187,15 @@ def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
             "psnr": -10.0 * jnp.log(aux["mse"]) / jnp.log(10.0),
             "n_samples": aux["n_samples"],
         }
+        if pcfg.debug:
+            fin = lambda tree: jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(l.astype(jnp.float32)))
+                for l in jax.tree_util.tree_leaves(tree)])).astype(jnp.float32)
+            metrics.update(
+                sigma_max=aux["sigma_max"], w_max=aux["w_max"],
+                t_finite=aux["t_finite"], prop_w_max=aux["prop_w_max"],
+                grads_finite=fin(grads), params_finite=fin(params),
+            )
         return PropTrainState(params=params, opt_state=opt_state), metrics
 
     return train_step
@@ -236,7 +267,7 @@ class PropTrainer:
         self.cfg, self.flags, self.pcfg = cfg, flags, pcfg
         self.key = jax.random.PRNGKey(seed)
         self.key, k_init = jax.random.split(self.key)
-        self.state = create_prop_train_state(field, props, cfg, k_init)
+        self.state = create_prop_train_state(field, props, cfg, k_init, pcfg)
         self.step = 0
         self.n_rays = n_rays
         self.steps_per_call = steps_per_call
@@ -286,7 +317,7 @@ class PropTrainer:
             self._prefetched = self._assemble_stacked()
         self.step += self.steps_per_call
         mse = float(jnp.mean(metrics["mse"]))
-        return {
+        out = {
             "loss": float(jnp.mean(metrics["loss"])),
             "mse": mse,
             "psnr": float(-10.0 * np.log(max(mse, 1e-12)) / np.log(10.0)),
@@ -294,6 +325,12 @@ class PropTrainer:
             "num_rays": self.n_rays,
             "steps": self.steps_per_call,
         }
+        if self.pcfg.debug:
+            for k in ("sigma_max", "w_max", "prop_w_max"):
+                out[k] = float(jnp.max(metrics[k]))
+            for k in ("t_finite", "grads_finite", "params_finite"):
+                out[k] = float(jnp.min(metrics[k]))
+        return out
 
 
 def make_prop_eval_render_fn(field, props, cfg: SceneConfig, pcfg: PropConfig):

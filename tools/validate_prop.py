@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--host", action="store_true",
                     help="per-step host sampling (the pre-scan loop; for "
                          "dispatch-overhead A/Bs only)")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-chunk NaN-source telemetry (sigma_max, "
+                         "finite flags) for divergence diagnosis")
+    ap.add_argument("--grad_clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--anneal_steps", type=int, default=0,
+                    help="override the proposal anneal schedule (0 = keep "
+                         "the 1000-step default)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -62,7 +70,11 @@ def main():
     )
     cfg = dnerf_config(max_steps=args.steps)
     field = build_field(cfg, flags)
+    import dataclasses
     pcfg = PropConfig.for_family("dnerf")
+    pcfg = dataclasses.replace(
+        pcfg, debug=args.debug, grad_clip=args.grad_clip,
+        anneal_steps=args.anneal_steps or pcfg.anneal_steps)
     props = build_prop_networks(cfg, pcfg)
     scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
                  "texture": TexturedCloudScene}[args.scene]
@@ -75,7 +87,7 @@ def main():
     if args.host:
         key = jax.random.PRNGKey(0)
         key, k_init = jax.random.split(key)
-        state = create_prop_train_state(field, props, cfg, k_init)
+        state = create_prop_train_state(field, props, cfg, k_init, pcfg)
         step_fn = make_prop_train_step(field, props, cfg, flags, pcfg)
         m = {}
         for step in range(args.steps):
@@ -102,11 +114,19 @@ def main():
         while trainer.step < args.steps:
             m = trainer.run_chunk()
             ttq.update(trainer.step, m["psnr"])
-            if trainer.step % 256 < trainer.steps_per_call:
+            if args.debug or trainer.step % 256 < trainer.steps_per_call:
                 history.append((trainer.step, m["psnr"]))
+                extra = ""
+                if args.debug:
+                    extra = (f" smax={m['sigma_max']:.3g}"
+                             f" wmax={m['w_max']:.3g}"
+                             f" pwmax={m['prop_w_max']:.3g}"
+                             f" tfin={m['t_finite']:.0f}"
+                             f" gfin={m['grads_finite']:.0f}"
+                             f" pfin={m['params_finite']:.0f}")
                 print(f"step={trainer.step} psnr={m['psnr']:.2f} "
                       f"loss={m['loss']:.4f} "
-                      f"nsamp={int(m['n_samples'])}", flush=True)
+                      f"nsamp={int(m['n_samples'])}" + extra, flush=True)
         params = trainer.state.params
         final_train_psnr = m["psnr"]
         steps_done = trainer.step
