@@ -160,6 +160,7 @@ class NGPDensityField(nn.Module):
     n_levels: int = 5
     log2_hashmap_size: int = 17
     encoder_impl: str = "brick"
+    density_clamp: float = 0.0  # see DNGPRadianceField.density_clamp
 
     def setup(self):
         self.grid = HashGridEncoder(
@@ -184,8 +185,10 @@ class NGPDensityField(nn.Module):
             x = (positions - aabb_min) / (aabb_max - aabb_min)
             selector = jnp.all((x > 0.0) & (x < 1.0), axis=-1)
         h = self.grid(x.reshape(-1, 3))
-        raw = self.mlp(h).astype(jnp.float32)
-        density = trunc_exp(raw - 1.0) * selector[..., None]
+        raw = self.mlp(h).astype(jnp.float32) - 1.0
+        if self.density_clamp > 0:
+            raw = jnp.minimum(raw, self.density_clamp)
+        density = trunc_exp(raw) * selector[..., None]
         return density
 
 
@@ -221,6 +224,13 @@ class DNGPRadianceField(nn.Module):
     remat_feats: bool = False  # brick-impl: re-gather rows in the backward
     row_layout: str = "brick"  # brick-impl hashed-level hot-row layout
     cell_rows_cap: int = 524288  # per-level cell-layout row guard
+    # pre-activation clamp on the density exp (0 = off, reference parity).
+    # exp overflows f32 at ~88.7; an overflowed inf density turns into NaN
+    # downstream (inf*0 in interp / inf-inf in warped positions). A clamp
+    # of e.g. 20 (sigma <= 4.8e8) is semantically invisible — opacity
+    # saturates orders of magnitude earlier — and closes the overflow
+    # route (prop-path divergence diagnosis, r4s28).
+    density_clamp: float = 0.0
 
     @property
     def hash_spec(self) -> HashGridSpec:
@@ -350,7 +360,10 @@ class DNGPRadianceField(nn.Module):
         base_out = self.mlp_base(cat_feat)
         density_before = base_out[:, :1].astype(jnp.float32)
         geo_feat = base_out[:, 1:]
-        density = trunc_exp(density_before - 1.0) * selector[:, None]
+        raw_act = density_before - 1.0
+        if self.density_clamp > 0:
+            raw_act = jnp.minimum(raw_act, self.density_clamp)
+        density = trunc_exp(raw_act) * selector[:, None]
 
         results = {"density": density}
         if return_feat:
