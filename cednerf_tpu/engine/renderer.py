@@ -926,18 +926,49 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
             hit = h if hit is None else (hit | h)
         seg_valid = (t_lo < t_max[:, None]) & hit                    # [C, Ms]
 
+        # pack each ray's occupied segment indices ONCE (stable argsort:
+        # occupied first, t-ascending) — the pass loop below then runs
+        # zero lattice-sized ops: per-pass selection is a per-ray cursor
+        # window, assigned to budget slots by an [C]-delta scatter + one
+        # [b_seg] cumsum (the compact_select_rayfold trick at 1/Ms cost)
+        order_flat = jnp.argsort(jnp.logical_not(seg_valid), axis=-1,
+                                 stable=True).astype(jnp.int32).reshape(-1)
+        n_segs = jnp.sum(seg_valid, axis=-1).astype(jnp.int32)       # [C]
+
         ray_info = jnp.concatenate(
             [origins, viewdirs, t_min[:, None], t_max[:, None]], axis=-1)
         tq = jnp.full((b, 1), jnp.reshape(timestamp, ()), jnp.float32)
         k_off = jnp.arange(seg, dtype=jnp.int32)[None, :]            # [1, seg]
+        slot_i = jnp.arange(b_seg, dtype=jnp.int32)
 
         def one_pass(carry):
-            remaining, trans, emitted, acc = carry
-            sel, kept = compact_select_rayfold(remaining, b_seg)
-            seg_ok = sel < nseg
-            sel_c = jnp.minimum(sel, nseg - 1)
-            ray = sel_c // ms
-            sidx = sel_c % ms
+            cursor, trans, emitted, acc, alive = carry
+            # adaptive per-ray window (the reference's N_samples =
+            # max(budget/N_alive, min) policy, utils.py:235, as a traced
+            # per-pass segment count — no shape change): early passes give
+            # every alive ray a small t-prefix window so transmittance
+            # early-termination and the s_max cap bite BETWEEN passes at
+            # fine granularity; late passes (few alive rays) widen
+            # automatically so the pass budget stays filled.
+            rem = jnp.maximum(n_segs - cursor, 0) * alive.astype(jnp.int32)
+            n_alive = jnp.maximum(jnp.sum((rem > 0).astype(jnp.int32)), 1)
+            k_seg = jnp.maximum(b_seg // n_alive, 1)
+            take = jnp.minimum(rem, k_seg)                           # [C]
+            start = jnp.cumsum(take) - take
+            consumed = jnp.clip(b_seg - start, 0, take)              # [C]
+            total = jnp.minimum(jnp.sum(take), b_seg)
+            starts_c = jnp.minimum(start, b_seg).astype(jnp.int32)
+
+            # slot -> owning ray (zero-take rays share their start with the
+            # next ray; the trailing ray at a shared start owns the slots)
+            ray = jnp.clip(
+                jnp.cumsum(jnp.zeros((b_seg,), jnp.int32)
+                           .at[starts_c].add(1, mode="drop")) - 1, 0, c - 1)
+            off = slot_i - jnp.take(starts_c, ray)
+            slot_used = slot_i < total
+            cur_r = jnp.take(cursor, ray)
+            sidx = jnp.take(order_flat,
+                            ray * ms + jnp.minimum(cur_r + off, ms - 1))
 
             ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=True)
             o, d = ri[:, 0:3], ri[:, 3:6]
@@ -947,13 +978,12 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
             t_pos = jnp.minimum(t0_s, tmax_r[:, None])  # clamp padding slots
             pos = o[:, None, :] + d[:, None, :] * (t_pos + 0.5 * step)[..., None]
             fine_valid = (occupancy_lookup(occ_state, pos)
-                          & (t0_s < tmax_r[:, None]) & seg_ok[:, None])
+                          & (t0_s < tmax_r[:, None]) & slot_used[:, None])
 
             # per-ray contiguous layout in the [B] sample buffer
-            counts_seg = jnp.sum(kept, axis=-1).astype(jnp.int32)    # [C]
-            starts_seg = jnp.cumsum(counts_seg) - counts_seg
-            sample_start = jnp.minimum(starts_seg, b_seg) * seg      # [C]
-            sample_end = jnp.minimum(starts_seg + counts_seg, b_seg) * seg
+            sample_start = starts_c * seg                            # [C]
+            sample_end = jnp.minimum(start + consumed, b_seg
+                                     ).astype(jnp.int32) * seg
 
             # exact per-ray s_max cap: rank of each fine-valid sample within
             # its ray (flat order is ray-major / t-ascending). The cap
@@ -1014,14 +1044,15 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
             od = (jnp.take(ex_sd_ext, sample_end)
                   - jnp.take(ex_sd_ext, sample_start))
             trans = trans * jnp.exp(-od)
-            alive = (trans > early_stop_eps) & (emitted < s_max)
-            remaining = remaining & jnp.logical_not(kept) & alive[:, None]
-            return remaining, trans, emitted, acc
+            cursor = cursor + consumed
+            alive = alive & (trans > early_stop_eps) & (emitted < s_max)
+            return cursor, trans, emitted, acc, alive
 
-        init = (seg_valid, jnp.ones((c,), jnp.float32),
-                jnp.zeros((c,), jnp.int32), jnp.zeros((c, 5), jnp.float32))
-        _, _, _, acc = jax.lax.while_loop(
-            lambda cr: jnp.any(cr[0]), one_pass, init)
+        init = (jnp.zeros((c,), jnp.int32), jnp.ones((c,), jnp.float32),
+                jnp.zeros((c,), jnp.int32), jnp.zeros((c, 5), jnp.float32),
+                n_segs > 0)
+        _, _, _, acc, _ = jax.lax.while_loop(
+            lambda cr: jnp.any(cr[4] & (cr[0] < n_segs)), one_pass, init)
         opacity = acc[:, 3:4]
         depth = acc[:, 4:5] / jnp.maximum(opacity,
                                           jnp.float32(1.1920929e-07))

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="0 = impl-matched default (eval_chunk_for)")
     ap.add_argument("--demand_only", action="store_true")
+    ap.add_argument("--scene", choices=("cloud", "ball"), default="cloud",
+                    help="cloud: volumetric BallCloudScene (adversarial "
+                         "demand, ~100+ valid samples/ray); ball: opaque "
+                         "BallScene (surface-like — the reference capture "
+                         "regime the interactive contract targets)")
     ap.add_argument("--ladder", default="256:64,128:64,64:32,32:16,16:8",
                     help="s_max:budget_per_ray pairs")
     args = ap.parse_args()
@@ -41,7 +46,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from synthetic_scene import BallCloudScene
+    from synthetic_scene import BallCloudScene, BallScene
     from cednerf_tpu.engine.cli import build_field
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config
     from cednerf_tpu.engine.renderer import (eval_chunk_for,
@@ -59,7 +64,8 @@ def main():
     )
     cfg = dnerf_config(max_steps=100000)
     field = build_field(cfg, flags)
-    scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
+    scene_cls = BallCloudScene if args.scene == "cloud" else BallScene
+    scene = scene_cls(n_cams=8, wh=128, n_times=8)
     tr = Trainer(field, cfg, flags, scene, seed=0,
                  device_sampler=scene.device_sampler(), steps_per_call=16)
     t0 = time.perf_counter()
@@ -68,7 +74,7 @@ def main():
     print(f"# warmed to step {tr.step} in {time.perf_counter()-t0:.0f}s",
           flush=True)
 
-    eval_scene = BallCloudScene(n_cams=8, wh=args.wh, n_times=8)
+    eval_scene = scene_cls(n_cams=8, wh=args.wh, n_times=8)
     gt, origins, viewdirs = eval_scene.eval_view(theta=0.3 * np.pi, t=0.5)
     o = jnp.asarray(np.asarray(origins, np.float32).reshape(-1, 3))
     d = jnp.asarray(np.asarray(viewdirs, np.float32).reshape(-1, 3))
