@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--num_rays", type=int, default=8192,
                         help="fixed ray batch (the proposal path needs no "
                              "dynamic sample batching: shapes are dense)")
+    parser.add_argument("--grad_clip", type=float, default=-1.0,
+                        help="global-norm gradient clip for the joint "
+                             "field+proposal optimizer (-1 = family "
+                             "default; 0 = off)")
+    parser.add_argument("--density_clamp", type=float, default=-1.0,
+                        help="pre-activation cap on the density exp "
+                             "(-1 = family default; 0 = off)")
     parser = get_model_args(parser)
     args = parser.parse_args()
 
@@ -78,8 +85,17 @@ def main():
         print(f"cfg overrides from CEDNERF_CFG: {env_cfg}")
     flags = flags_from_args(args)
     field = build_field(cfg, flags)
+    import dataclasses
+
     pcfg = PropConfig.for_family(cfg.family)
+    if args.grad_clip >= 0:
+        pcfg = dataclasses.replace(pcfg, grad_clip=args.grad_clip)
+    if args.density_clamp >= 0:
+        field = dataclasses.replace(field, density_clamp=args.density_clamp)
     props = build_prop_networks(cfg, pcfg)
+    if args.density_clamp >= 0:
+        props = tuple(dataclasses.replace(p, density_clamp=args.density_clamp)
+                      for p in props)
 
     if args.scene in DNERF_SYNTHETIC_SCENES:
         from cednerf_tpu.datasets.dnerf_synthetic import DNeRFSyntheticDataset as Loader
