@@ -59,6 +59,14 @@ class PropConfig:
     anneal_steps: int = 1000
     # global-norm gradient clip (0 = off) — see make_prop_optimizer
     grad_clip: float = 0.0
+    # pre-activation density cap (models/field.py density_clamp), applied
+    # to the radiance field AND the proposal density fields by the prop
+    # entry points. DEFAULT ON for the prop path: concentrated resampling
+    # grows the density head geometrically until f32 exp overflow
+    # (root-caused r4s30 — NaN at ~step 1.28k, docs/QUALITY.md); the cap
+    # at e^20 is semantically invisible and measured to train through the
+    # old divergence point (r4s30 prop_clamp_ttq).
+    density_clamp: float = 20.0
     # NaN-source telemetry in the step metrics (sigma_max / w_max /
     # finite flags) for divergence diagnosis
     debug: bool = False

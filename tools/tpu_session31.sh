@@ -1,18 +1,16 @@
 #!/bin/bash
-# Round-4 session 31 (chains after s30) — long-horizon texture gate
-# (VERDICT r3 next #6). The literal 20k-step reference-exact arm is
-# infeasible on this chip: the per-corner gather encoder measures
-# ~2.2 s/step (PERF_PLAN s12) -> 12 h for 20k steps. The affordable
-# honest version: a 4k-step equal-protocol A/B (2x the longest recorded
-# ladder point) testing whether the unified default's -0.16 dB gap GROWS
-# with steps (the old capped default's did: 0.0@256 -> 0.98@1280).
-#   1. texture_def_4k — unified default (L8F4 cell rayfold ftr65536)
-#   2. texture_ref_4k — reference-exact gather L16F2@2^21 (slow arm)
-#   3. mono_def_2k / mono_ref_2k — monocular pair at 2k (gather mono at
-#      4k would not fit the round)
+# Round-4 session 31 v2 (chains after s32) — quality gates + banked TTQ
+#   1. prop_ttq_warm   — the CLEAN prop TTQ of record: density_clamp=20
+#                        default (fix validated r4s30), warm compile cache
+#                        from the clamp arm (same program)
+#   2. texture_def_4k / texture_ref_4k — long-horizon texture gate
+#      (VERDICT #6). 20k-step gather is infeasible (2.2 s/step = 12 h);
+#      4k steps = 2x the longest recorded ladder, tests gap growth.
+#   3. val_triplane_v2 — retry at half budget (16.1G OOM at 262k budget)
+#   4. mono pair at 2k — cuttable tail
 set -u
 OUT=${1:-/root/repo/results/r4s31}
-PREV=${2:-/root/repo/results/r4s30}
+PREV=${2:-/root/repo/results/r4s32}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 echo $$ > "$OUT/runner.pid"
@@ -31,7 +29,11 @@ runT() {
   echo "=== $name rc=$? ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 }
 
-echo "=== session31 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+echo "=== session31v2 takes the chip ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+
+runT 3600 prop_ttq_warm python tools/validate_prop.py \
+    --steps 4000 --rays 8192 --scene ball \
+    --ttq_db 24,28,30,32 --out "$OUT/prop_ttq_warm"
 
 runT 3600 texture_def_4k python tools/validate_synthetic.py \
     --steps 4000 --scene texture --levels 8 --features 4 \
@@ -43,6 +45,10 @@ runT 11000 texture_ref_4k python tools/validate_synthetic.py \
     --impl gather --log2 21 \
     --out "$OUT/texture_ref_4k"
 
+runT 2400 val_triplane_v2 python tools/validate_synthetic.py \
+    --steps 2000 --scene ball --grid_type triplane --budget 131072 \
+    --out "$OUT/val_triplane_v2"
+
 runT 3600 mono_def_2k python tools/validate_synthetic.py \
     --steps 2000 --scene mono --levels 8 --features 4 \
     --row_layout cell --fine_table_rows 65536 \
@@ -53,4 +59,4 @@ runT 7200 mono_ref_2k python tools/validate_synthetic.py \
     --impl gather --log2 21 \
     --out "$OUT/mono_ref_2k"
 
-echo "=== session31 done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
+echo "=== session31v2 done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"

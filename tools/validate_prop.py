@@ -43,8 +43,9 @@ def main():
                          "finite flags) for divergence diagnosis")
     ap.add_argument("--grad_clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
-    ap.add_argument("--density_clamp", type=float, default=0.0,
-                    help="pre-activation clamp on the density exp (0 = off)")
+    ap.add_argument("--density_clamp", type=float, default=-1.0,
+                    help="pre-activation clamp on the density exp "
+                         "(-1 = PropConfig default 20; 0 = off)")
     ap.add_argument("--anneal_steps", type=int, default=0,
                     help="override the proposal anneal schedule (0 = keep "
                          "the 1000-step default)")
@@ -73,15 +74,16 @@ def main():
     cfg = dnerf_config(max_steps=args.steps)
     field = build_field(cfg, flags)
     import dataclasses
-    if args.density_clamp > 0:
-        field = dataclasses.replace(field, density_clamp=args.density_clamp)
     pcfg = PropConfig.for_family("dnerf")
     pcfg = dataclasses.replace(
         pcfg, debug=args.debug, grad_clip=args.grad_clip,
         anneal_steps=args.anneal_steps or pcfg.anneal_steps)
+    clamp = pcfg.density_clamp if args.density_clamp < 0 else args.density_clamp
+    if clamp > 0:
+        field = dataclasses.replace(field, density_clamp=clamp)
     props = build_prop_networks(cfg, pcfg)
-    if args.density_clamp > 0:
-        props = tuple(dataclasses.replace(p, density_clamp=args.density_clamp)
+    if clamp > 0:
+        props = tuple(dataclasses.replace(p, density_clamp=clamp)
                       for p in props)
     scene_cls = {"ball": BallScene, "cloud": BallCloudScene,
                  "texture": TexturedCloudScene}[args.scene]

@@ -90,11 +90,13 @@ def main():
     pcfg = PropConfig.for_family(cfg.family)
     if args.grad_clip >= 0:
         pcfg = dataclasses.replace(pcfg, grad_clip=args.grad_clip)
-    if args.density_clamp >= 0:
-        field = dataclasses.replace(field, density_clamp=args.density_clamp)
+    clamp = (pcfg.density_clamp if args.density_clamp < 0
+             else args.density_clamp)
+    if clamp > 0:
+        field = dataclasses.replace(field, density_clamp=clamp)
     props = build_prop_networks(cfg, pcfg)
-    if args.density_clamp >= 0:
-        props = tuple(dataclasses.replace(p, density_clamp=args.density_clamp)
+    if clamp > 0:
+        props = tuple(dataclasses.replace(p, density_clamp=clamp)
                       for p in props)
 
     if args.scene in DNERF_SYNTHETIC_SCENES:
