@@ -147,6 +147,17 @@ def main():
                              origins, viewdirs, jnp.float32(0.43),
                              jnp.ones(3))
     eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
+    # train-view render through the SAME eval path: separates eval-renderer
+    # divergence (deterministic edges, clamp asymmetry) from novel-view
+    # generalization damage (floaters) — r4s30 prop_clamp_ttq saw train
+    # 42.9 dB but novel-view eval 10.85
+    t_train = float(scene.times[3])
+    tv = scene.image_rays(0, t_train)
+    rgb_tv, _, _ = render_image(field, params, None, render_fn,
+                                tv["origins"], tv["viewdirs"],
+                                jnp.float32(t_train), jnp.ones(3))
+    train_view_psnr = float(psnr(jnp.asarray(rgb_tv),
+                                 jnp.asarray(tv["pixels"])))
 
     result = {
         "steps": steps_done,
@@ -156,6 +167,7 @@ def main():
         "loop": "host" if args.host else "scanned",
         "train_seconds": round(train_s, 1),
         "final_train_psnr": round(final_train_psnr, 2),
+        "train_view_psnr": round(train_view_psnr, 2),
         "eval_psnr": round(eval_psnr, 2),
     }
     if ttq.thresholds:
