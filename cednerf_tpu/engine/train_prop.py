@@ -270,7 +270,16 @@ class PropTrainer:
     def __init__(self, field, props, cfg: SceneConfig, flags: ModelFlags,
                  pcfg: PropConfig, device_sampler, n_rays: int,
                  seed: int = 42, steps_per_call: int = 16, mesh=None,
-                 dataset=None):
+                 dataset=None, occ_eval: bool = True):
+        """occ_eval: maintain an occupancy grid on the occ path's EMA
+        cadence (one sampled update per chunk; all-cells through warmup)
+        purely for EVAL-TIME sample culling — the prop sampler trains only
+        where proposals place samples, so weakly-observed free space keeps
+        fog density that novel-view renders accumulate (measured: r4s31
+        prop_ttq_warm train_view 62.2 dB vs novel-view 10.85). The occ
+        path gets this culling structurally; the grid restores it here
+        (the reference's GUI renders through the estimator the same way,
+        gui.py:205-237). Training math is untouched."""
         self.field, self.props = field, props
         self.cfg, self.flags, self.pcfg = cfg, flags, pcfg
         self.key = jax.random.PRNGKey(seed)
@@ -297,6 +306,20 @@ class PropTrainer:
                 device_sampler = (replicate(device_sampler[0], mesh),
                                   device_sampler[1])
         self.device_sampler = device_sampler
+        self.occ = None
+        if occ_eval:
+            from ..ops.occupancy import create_occ_grid
+            from .train import make_occ_update_fn
+
+            self.occ = create_occ_grid(cfg.aabb, cfg.grid_resolution,
+                                       cfg.grid_nlvl)
+            self._occ_warm = make_occ_update_fn(field, cfg, all_cells=True)
+            self._occ_samp = make_occ_update_fn(field, cfg, all_cells=False)
+            tp = getattr(dataset, "timestamps_pool", None)
+            self.timestamps_pool = (
+                jnp.asarray(np.asarray(tp, np.float32).reshape(-1, 1))
+                if tp is not None
+                else jnp.linspace(0.0, 1.0, 16).reshape(-1, 1))
         self._loop = make_prop_train_loop(
             field, props, cfg, flags, pcfg, n_rays,
             device_sampler[1], steps_per_call, mesh=mesh)
@@ -324,6 +347,13 @@ class PropTrainer:
             # assemble the next chunk now so host sampling overlaps device
             self._prefetched = self._assemble_stacked()
         self.step += self.steps_per_call
+        if self.occ is not None:
+            self.key, k_occ = jax.random.split(self.key)
+            occ_fn = (self._occ_warm
+                      if self.step <= self.cfg.occ_warmup_steps
+                      else self._occ_samp)
+            self.occ = occ_fn(self.state.params["field"], self.occ,
+                              self.timestamps_pool, k_occ)
         mse = float(jnp.mean(metrics["mse"]))
         out = {
             "loss": float(jnp.mean(metrics["loss"])),
@@ -342,11 +372,16 @@ class PropTrainer:
 
 
 def make_prop_eval_render_fn(field, props, cfg: SceneConfig, pcfg: PropConfig):
-    """Jitted chunk renderer for the proposal path (no occupancy state)."""
+    """Jitted chunk renderer for the proposal path.
+
+    The occ slot of the render_image contract is honored when an
+    occupancy state is passed (PropTrainer(occ_eval=True).occ): final
+    samples in unoccupied cells are masked out — the fog filter the occ
+    path applies structurally (see PropTrainer.occ_eval)."""
     aabb = np.asarray(cfg.aabb, np.float32)
 
     @jax.jit
-    def render_chunk(params, _occ_unused, origins, viewdirs, timestamp, render_bkgd):
+    def render_chunk(params, occ_state, origins, viewdirs, timestamp, render_bkgd):
         if pcfg.unbounded:
             near = jnp.full((origins.shape[0],), cfg.near_plane)
             far = jnp.full_like(near, min(cfg.far_plane, 1e4))
@@ -362,7 +397,14 @@ def make_prop_eval_render_fn(field, props, cfg: SceneConfig, pcfg: PropConfig):
             prop_fns, list(pcfg.prop_samples), pcfg.n_final,
             origins, viewdirs, near, far, sampling_type=pcfg.sampling_type,
         )
-        samples = RaySamples(t_starts=t0, t_ends=t1, mask=jnp.ones_like(t0, bool))
+        mask = jnp.ones_like(t0, bool)
+        if occ_state is not None:
+            from ..ops.occupancy import occupancy_lookup
+
+            t_mid = (t0 + t1) / 2.0
+            pos = origins[:, None, :] + viewdirs[:, None, :] * t_mid[..., None]
+            mask = occupancy_lookup(occ_state, pos)
+        samples = RaySamples(t_starts=t0, t_ends=t1, mask=mask)
         t = jnp.broadcast_to(jnp.reshape(timestamp, (1, 1)), (origins.shape[0], 1))
         out = render_rays(field, params["field"], origins, viewdirs, samples, t,
                           render_bkgd, train=False)

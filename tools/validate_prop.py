@@ -142,18 +142,26 @@ def main():
     train_s = time.perf_counter() - t0
 
     render_fn = make_prop_eval_render_fn(field, props, cfg, pcfg)
+    occ = getattr(trainer, "occ", None) if not args.host else None
     gt, origins, viewdirs = scene.eval_view(theta=0.33 * np.pi, t=0.43)
-    rgb, _, _ = render_image(field, params, None, render_fn,
+    rgb, _, _ = render_image(field, params, occ, render_fn,
                              origins, viewdirs, jnp.float32(0.43),
                              jnp.ones(3))
     eval_psnr = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
+    eval_psnr_raw = eval_psnr
+    if occ is not None:
+        # un-culled comparison row (the fog-damage diagnostic)
+        rgb_raw, _, _ = render_image(field, params, None, render_fn,
+                                     origins, viewdirs, jnp.float32(0.43),
+                                     jnp.ones(3))
+        eval_psnr_raw = float(psnr(jnp.asarray(rgb_raw), jnp.asarray(gt)))
     # train-view render through the SAME eval path: separates eval-renderer
     # divergence (deterministic edges, clamp asymmetry) from novel-view
     # generalization damage (floaters) — r4s30 prop_clamp_ttq saw train
     # 42.9 dB but novel-view eval 10.85
     t_train = float(scene.times[3])
     tv = scene.image_rays(0, t_train)
-    rgb_tv, _, _ = render_image(field, params, None, render_fn,
+    rgb_tv, _, _ = render_image(field, params, occ, render_fn,
                                 tv["origins"], tv["viewdirs"],
                                 jnp.float32(t_train), jnp.ones(3))
     train_view_psnr = float(psnr(jnp.asarray(rgb_tv),
@@ -169,6 +177,7 @@ def main():
         "final_train_psnr": round(final_train_psnr, 2),
         "train_view_psnr": round(train_view_psnr, 2),
         "eval_psnr": round(eval_psnr, 2),
+        "eval_psnr_raw": round(eval_psnr_raw, 2),
     }
     if ttq.thresholds:
         result.update(ttq.result())

@@ -151,7 +151,7 @@ def main():
     for test_step in range(len(test_dataset)):
         data = test_dataset.image_rays(test_step)
         rgb, acc, depth = render_image(
-            field, state.params, None, render_chunk,
+            field, state.params, getattr(trainer, "occ", None), render_chunk,
             data["origins"], data["viewdirs"], jnp.float32(data["timestamp"]),
             jnp.asarray(data["color_bkgd"]), chunk=cfg.eval_chunk,
         )
