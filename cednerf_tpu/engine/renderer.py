@@ -1262,6 +1262,11 @@ def render_image(field, params, occ_state, render_chunk_fn, origins, viewdirs,
     o = np.asarray(origins, np.float32).reshape(-1, 3)
     d = np.asarray(viewdirs, np.float32).reshape(-1, 3)
     n = o.shape[0]
+    # never pad a small frame up to a full chunk (a 256-ray test image
+    # must not compile/run a 32768-ray program); keep 8-row alignment and
+    # mesh divisibility
+    q = 8 if mesh is None else max(8, int(np.lcm(8, mesh.size)))
+    chunk = min(chunk, -(-n // q) * q)
     # Dispatch every chunk before fetching any result: jitted calls queue
     # asynchronously on the device, so the ~30 ms host round-trip through a
     # tunneled chip is paid once per image instead of once per chunk.
