@@ -175,3 +175,49 @@ def test_prop_stacked_host_loop_trains():
     assert trainer.step == 64
     assert np.isfinite(last["loss"])
     assert last["mse"] < 0.8 * first["mse"], (first["mse"], last["mse"])
+
+
+def test_prop_occ_eval_culling():
+    """PropTrainer maintains an occupancy grid (eval-only culling, r4): it
+    carves after warmup, and the prop eval renderer masks samples in
+    unoccupied cells — occupied cells must cover the ball so the culled
+    render stays close to the raw one where it matters (train view)."""
+    from cednerf_tpu.engine.renderer import render_image
+    from cednerf_tpu.engine.train_prop import (PropTrainer,
+                                               make_prop_eval_render_fn)
+
+    cfg = dataclasses.replace(dnerf_config(max_steps=300),
+                              target_sample_batch_size=4096,
+                              grid_resolution=16, occ_warmup_steps=16,
+                              eval_chunk_seg=256, eval_chunk=256)
+    pcfg = PropConfig(prop_resolutions=(64,), prop_samples=(64,), n_final=32,
+                      anneal_steps=50)
+    field = DNGPRadianceField(
+        aabb=cfg.aabb, n_levels=4, dst_resolution=64, base_resolution=8,
+        log2_hashmap_size=12, moving_step=cfg.moving_step,
+    )
+    props = build_prop_networks(cfg, pcfg)
+    scene = BallScene(wh=32)
+    trainer = PropTrainer(field, props, cfg, ModelFlags(), pcfg,
+                          scene.device_sampler(), n_rays=256, seed=0,
+                          steps_per_call=8)
+    assert trainer.occ is not None
+    for _ in range(8):
+        m = trainer.run_chunk()
+    bins = np.asarray(trainer.occ.binaries)
+    assert 0 < bins.sum() < bins.size  # carved: neither empty nor dense
+    fn = make_prop_eval_render_fn(field, props, cfg, pcfg)
+    tv = scene.image_rays(0, float(scene.times[1]))
+    culled, _, _ = render_image(field, trainer.state.params, trainer.occ, fn,
+                                tv["origins"], tv["viewdirs"],
+                                jnp.float32(float(scene.times[1])),
+                                jnp.ones(3), chunk=256)
+    raw, _, _ = render_image(field, trainer.state.params, None, fn,
+                             tv["origins"], tv["viewdirs"],
+                             jnp.float32(float(scene.times[1])),
+                             jnp.ones(3), chunk=256)
+    # culling may only REMOVE fog: the train view's mse vs gt must not
+    # get meaningfully worse than the raw render's
+    mse_c = float(np.mean((np.asarray(culled) - tv["pixels"]) ** 2))
+    mse_r = float(np.mean((np.asarray(raw) - tv["pixels"]) ** 2))
+    assert np.isfinite(mse_c) and mse_c <= mse_r * 1.5 + 1e-3, (mse_c, mse_r)
