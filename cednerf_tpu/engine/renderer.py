@@ -885,6 +885,25 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
     Uniform-step schedules only (cone_angle == 0): segment t's reconstruct
     from the segment index, so no [C, M] t-lattice is ever materialized,
     and the pooled superset bound needs fixed-length segments.
+
+    Round-5 additions (the r4s32 waste decomposition, docs/PERF_PLAN.md):
+
+      * **demand-driven budget cascade** — the pass loop runs as a ladder of
+        while_loops at shrinking slot budgets (full -> /4 -> /16). Phase k's
+        loop condition keeps running only while the REMAINING demand
+        (occupied segments of alive rays, capped by each ray's s_max
+        headroom) exceeds the next phase's budget; tail passes with few
+        alive rays therefore stop paying the full `budget_per_ray * C` slot
+        cost (measured fill was 15-35% — the field paid 3-6x its demand).
+        All decisions are traced scalars: no host round-trips, one compile.
+      * **row-level batched scans** — the four [B]-length 1-D cumsums per
+        pass (sample rank, optical depth, 5 composite channels, emit count)
+        collapse to three [B/seg]-length scans + vectorized lane math, with
+        the emit count folded into the composite-channel scan.
+      * per-sample optical depth is capped at 80 (exp(-80) == 0) and
+        NaN-scrubbed before the prefix scan: one overflowed f32 density
+        would otherwise make the shared prefix inf/NaN and poison every
+        later ray in the chunk (ADVICE r4).
     """
     import math
 
@@ -895,7 +914,6 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
     ms = -(-m // seg)
     seg_len = seg * step
     dilate = _seg_dilate(cfg, seg, pool)
-    from ..utils.math import exclusive_cumsum
 
     @jax.jit
     def render_chunk(params, occ_state: OccGridState, origins, viewdirs,
@@ -904,7 +922,6 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
         nseg = c * ms
         b_seg = max((budget_per_ray * c) // seg, 8)
         b_seg = min(-(-b_seg // 8) * 8, -(-nseg // 8) * 8)
-        b = b_seg * seg
         multi_level = occ_state.levels > 1
 
         coarse = pooled_binaries(occ_state, pool=pool, dilate=dilate)
@@ -937,122 +954,167 @@ def make_eval_render_fn_seg(field, cfg: SceneConfig,
 
         ray_info = jnp.concatenate(
             [origins, viewdirs, t_min[:, None], t_max[:, None]], axis=-1)
-        tq = jnp.full((b, 1), jnp.reshape(timestamp, ()), jnp.float32)
         k_off = jnp.arange(seg, dtype=jnp.int32)[None, :]            # [1, seg]
-        slot_i = jnp.arange(b_seg, dtype=jnp.int32)
 
-        def one_pass(carry):
-            cursor, trans, emitted, acc, alive = carry
-            # adaptive per-ray window (the reference's N_samples =
-            # max(budget/N_alive, min) policy, utils.py:235, as a traced
-            # per-pass segment count — no shape change): early passes give
-            # every alive ray a small t-prefix window so transmittance
-            # early-termination and the s_max cap bite BETWEEN passes at
-            # fine granularity; late passes (few alive rays) widen
-            # automatically so the pass budget stays filled.
+        def rem_total_of(cursor, emitted, alive):
+            """Remaining demand in segments: occupied segments of alive rays,
+            capped by each ray's s_max headroom (both advance monotonically,
+            so this is an upper bound on the work any future pass can do)."""
             rem = jnp.maximum(n_segs - cursor, 0) * alive.astype(jnp.int32)
-            n_alive = jnp.maximum(jnp.sum((rem > 0).astype(jnp.int32)), 1)
-            k_seg = jnp.maximum(b_seg // n_alive, 1)
-            take = jnp.minimum(rem, k_seg)                           # [C]
-            start = jnp.cumsum(take) - take
-            consumed = jnp.clip(b_seg - start, 0, take)              # [C]
-            total = jnp.minimum(jnp.sum(take), b_seg)
-            starts_c = jnp.minimum(start, b_seg).astype(jnp.int32)
+            segcap = jnp.maximum((s_max - emitted + seg - 1) // seg, 0)
+            return jnp.sum(jnp.minimum(rem, segcap))
 
-            # slot -> owning ray (zero-take rays share their start with the
-            # next ray; the trailing ray at a shared start owns the slots)
-            ray = jnp.clip(
-                jnp.cumsum(jnp.zeros((b_seg,), jnp.int32)
-                           .at[starts_c].add(1, mode="drop")) - 1, 0, c - 1)
-            off = slot_i - jnp.take(starts_c, ray)
-            slot_used = slot_i < total
-            cur_r = jnp.take(cursor, ray)
-            sidx = jnp.take(order_flat,
-                            ray * ms + jnp.minimum(cur_r + off, ms - 1))
+        def make_pass(b_seg_p: int):
+            b_p = b_seg_p * seg
+            slot_i = jnp.arange(b_seg_p, dtype=jnp.int32)
+            tq = jnp.full((b_p, 1), jnp.reshape(timestamp, ()), jnp.float32)
 
-            ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=True)
-            o, d = ri[:, 0:3], ri[:, 3:6]
-            tmin_r, tmax_r = ri[:, 6], ri[:, 7]
-            jj = sidx[:, None] * seg + k_off                         # [SB, seg]
-            t0_s = tmin_r[:, None] + jj.astype(jnp.float32) * step
-            t_pos = jnp.minimum(t0_s, tmax_r[:, None])  # clamp padding slots
-            pos = o[:, None, :] + d[:, None, :] * (t_pos + 0.5 * step)[..., None]
-            fine_valid = (occupancy_lookup(occ_state, pos)
-                          & (t0_s < tmax_r[:, None]) & slot_used[:, None])
+            def one_pass(carry):
+                cursor, trans, emitted, acc, alive = carry
+                # adaptive per-ray window (the reference's N_samples =
+                # max(budget/N_alive, min) policy, utils.py:235, as a traced
+                # per-pass segment count — no shape change): early passes
+                # give every alive ray a small t-prefix window so
+                # transmittance early-termination and the s_max cap bite
+                # BETWEEN passes at fine granularity; late passes (few alive
+                # rays) widen automatically so the pass budget stays filled.
+                rem = jnp.maximum(n_segs - cursor, 0) * alive.astype(jnp.int32)
+                n_alive = jnp.maximum(jnp.sum((rem > 0).astype(jnp.int32)), 1)
+                k_seg = jnp.maximum(b_seg_p // n_alive, 1)
+                take = jnp.minimum(rem, k_seg)                       # [C]
+                start = jnp.cumsum(take) - take
+                consumed = jnp.clip(b_seg_p - start, 0, take)        # [C]
+                total = jnp.minimum(jnp.sum(take), b_seg_p)
+                starts_c = jnp.minimum(start, b_seg_p).astype(jnp.int32)
+                end_row = jnp.minimum(start + consumed,
+                                      b_seg_p).astype(jnp.int32)     # [C]
 
-            # per-ray contiguous layout in the [B] sample buffer
-            sample_start = starts_c * seg                            # [C]
-            sample_end = jnp.minimum(start + consumed, b_seg
-                                     ).astype(jnp.int32) * seg
+                # slot -> owning ray (zero-take rays share their start with
+                # the next ray; the trailing ray at a shared start owns the
+                # slots)
+                ray = jnp.clip(
+                    jnp.cumsum(jnp.zeros((b_seg_p,), jnp.int32)
+                               .at[starts_c].add(1, mode="drop")) - 1,
+                    0, c - 1)
+                off = slot_i - jnp.take(starts_c, ray)
+                slot_used = slot_i < total
+                cur_r = jnp.take(cursor, ray)
+                sidx = jnp.take(order_flat,
+                                ray * ms + jnp.minimum(cur_r + off, ms - 1))
 
-            # exact per-ray s_max cap: rank of each fine-valid sample within
-            # its ray (flat order is ray-major / t-ascending). The cap
-            # counts pre-alpha-prune candidates, like the lattice path's
-            # `cumsum(valid) <= s_max`.
-            fv = fine_valid.reshape(-1).astype(jnp.int32)            # [B]
-            ex_fv = exclusive_cumsum(fv, axis=0)
-            ex_fv_ext = jnp.concatenate([ex_fv, jnp.sum(fv)[None]])
-            base_rank = jnp.take(ex_fv_ext, sample_start)            # [C]
-            rank = ex_fv.reshape(-1, seg) - jnp.take(base_rank, ray)[:, None]
-            em_slot = jnp.take(emitted, ray)                         # [SB]
-            keep_cap = fine_valid & ((em_slot[:, None] + rank) < s_max)
+                ri = jnp.take(ray_info, ray, axis=0, indices_are_sorted=True)
+                o, d = ri[:, 0:3], ri[:, 3:6]
+                tmin_r, tmax_r = ri[:, 6], ri[:, 7]
+                jj = sidx[:, None] * seg + k_off                     # [SB, seg]
+                t0_s = tmin_r[:, None] + jj.astype(jnp.float32) * step
+                t_pos = jnp.minimum(t0_s, tmax_r[:, None])  # clamp padding
+                pos = (o[:, None, :]
+                       + d[:, None, :] * (t_pos + 0.5 * step)[..., None])
+                fine_valid = (occupancy_lookup(occ_state, pos)
+                              & (t0_s < tmax_r[:, None]) & slot_used[:, None])
 
-            # field on every slot of the selected segments (masked); the
-            # ~40% fine-invalid slots trade a second compaction's cost +
-            # bookkeeping for wasted forward rows (profile_eval2 measures)
-            rgb_c, res_c = field.apply(
-                params, pos.reshape(b, 3), tq,
-                jnp.broadcast_to(d[:, None, :], (b_seg, seg, 3)).reshape(b, 3),
-                return_internal=False)
-            sig = res_c["density"].astype(jnp.float32).reshape(-1, seg)
-            keep = keep_cap
-            if cfg.alpha_thre > 0:
-                alpha_raw = 1.0 - jnp.exp(-sig * step)
-                keep = keep & (alpha_raw > cfg.alpha_thre)
-            keep_f = keep.astype(jnp.float32)
-            sigmas = jnp.where(keep, sig, 0.0)
+                # exact per-ray s_max cap: rank of each fine-valid sample
+                # within its ray (flat order is ray-major / t-ascending; rows
+                # are whole segments, so ray boundaries land on row
+                # boundaries). The cap counts pre-alpha-prune candidates,
+                # like the lattice path's `cumsum(valid) <= s_max`. Lane
+                # cumsums are vectorized; only the [SB] row scan is 1-D.
+                fvi = fine_valid.astype(jnp.int32)
+                lane_fv = jnp.cumsum(fvi, axis=1)            # [SB, seg] incl
+                row_fv = lane_fv[:, -1]                      # [SB]
+                row_fv_cum = jnp.cumsum(row_fv)
+                row_fv_ext = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), row_fv_cum])
+                base_rank = jnp.take(row_fv_ext, starts_c)   # [C]
+                rank = ((row_fv_cum - row_fv)
+                        - jnp.take(base_rank, ray))[:, None] + (lane_fv - fvi)
+                em_slot = jnp.take(emitted, ray)             # [SB]
+                keep_cap = fine_valid & ((em_slot[:, None] + rank) < s_max)
 
-            sdelta = (sigmas * step).reshape(-1)                     # [B]
-            ex_sd = exclusive_cumsum(sdelta, axis=0)
-            ex_sd_ext = jnp.concatenate([ex_sd, jnp.sum(sdelta)[None]])
-            base_sd = jnp.take(ex_sd_ext, sample_start)              # [C]
-            t_slot = (jnp.take(trans, ray)[:, None]
-                      * jnp.exp(-jnp.maximum(
-                          ex_sd.reshape(-1, seg)
-                          - jnp.take(base_sd, ray)[:, None], 0.0)))
-            alphas = 1.0 - jnp.exp(-sigmas * step)
-            w = t_slot * alphas * keep_f                             # [SB, seg]
+                # field on every slot of the selected segments (masked); the
+                # ~40% fine-invalid slots trade a second compaction's cost +
+                # bookkeeping for wasted forward rows (profile_eval2)
+                rgb_c, res_c = field.apply(
+                    params, pos.reshape(b_p, 3), tq,
+                    jnp.broadcast_to(d[:, None, :],
+                                     (b_seg_p, seg, 3)).reshape(b_p, 3),
+                    return_internal=False)
+                sig = res_c["density"].astype(jnp.float32).reshape(-1, seg)
+                keep = keep_cap
+                if cfg.alpha_thre > 0:
+                    alpha_raw = 1.0 - jnp.exp(-sig * step)
+                    keep = keep & (alpha_raw > cfg.alpha_thre)
+                keep_f = keep.astype(jnp.float32)
 
-            t_mid = t0_s + 0.5 * step
-            chans = jnp.concatenate(
-                [w[..., None] * rgb_c.astype(jnp.float32).reshape(-1, seg, 3),
-                 w[..., None],
-                 (w * t_mid)[..., None]], axis=-1).reshape(b, 5)
-            z = jnp.cumsum(chans, axis=0)
-            z_ext = jnp.concatenate([jnp.zeros((1, 5), jnp.float32), z],
-                                    axis=0)
-            sums = (jnp.take(z_ext, sample_end, axis=0)
-                    - jnp.take(z_ext, sample_start, axis=0))         # [C, 5]
-            acc = acc + sums
+                # per-sample optical depth, NaN-scrubbed and capped at 80
+                # (exp(-80) == 0, so the cap is semantically invisible): an
+                # overflowed/inf f32 density would otherwise make the shared
+                # prefix scan inf and inf-inf = NaN poison every later ray
+                # in the chunk (ADVICE r4); even finite extremes destroy the
+                # f32 precision of later rays' prefix differences.
+                sdelta = jnp.minimum(jnp.nan_to_num(sig * step),
+                                     80.0) * keep_f          # [SB, seg]
+                lane_sd = jnp.cumsum(sdelta, axis=1)
+                row_sd = lane_sd[:, -1]                      # [SB]
+                row_sd_cum = jnp.cumsum(row_sd)
+                row_sd_ext = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.float32), row_sd_cum])
+                base_sd = jnp.take(row_sd_ext, starts_c)     # [C]
+                ex_sd = ((row_sd_cum - row_sd)[:, None]
+                         + (lane_sd - sdelta))               # [SB, seg]
+                t_slot = (jnp.take(trans, ray)[:, None]
+                          * jnp.exp(-jnp.maximum(
+                              ex_sd - jnp.take(base_sd, ray)[:, None], 0.0)))
+                alphas = 1.0 - jnp.exp(-sdelta)
+                w = t_slot * alphas                          # [SB, seg]
 
-            # per-ray updates (emitted counts the pre-alpha cap candidates)
-            kcs = jnp.cumsum(keep_cap.reshape(-1).astype(jnp.float32))
-            kcs_ext = jnp.concatenate([jnp.zeros((1,), jnp.float32), kcs])
-            n_new = (jnp.take(kcs_ext, sample_end)
-                     - jnp.take(kcs_ext, sample_start)).astype(jnp.int32)
-            emitted = emitted + n_new
-            od = (jnp.take(ex_sd_ext, sample_end)
-                  - jnp.take(ex_sd_ext, sample_start))
-            trans = trans * jnp.exp(-od)
-            cursor = cursor + consumed
-            alive = alive & (trans > early_stop_eps) & (emitted < s_max)
-            return cursor, trans, emitted, acc, alive
+                # composite channels + the emit count in ONE [SB, 6] row
+                # scan; per-ray sums are boundary differences at row level
+                t_mid = t0_s + 0.5 * step
+                rgbs = rgb_c.astype(jnp.float32).reshape(-1, seg, 3)
+                chans_row = jnp.concatenate(
+                    [jnp.sum(w[..., None] * rgbs, axis=1),
+                     jnp.sum(w, axis=1, keepdims=True),
+                     jnp.sum(w * t_mid, axis=1, keepdims=True),
+                     jnp.sum(keep_cap, axis=1,
+                             keepdims=True).astype(jnp.float32)],
+                    axis=-1)                                 # [SB, 6]
+                z = jnp.cumsum(chans_row, axis=0)
+                z_ext = jnp.concatenate(
+                    [jnp.zeros((1, 6), jnp.float32), z], axis=0)
+                sums = (jnp.take(z_ext, end_row, axis=0)
+                        - jnp.take(z_ext, starts_c, axis=0))  # [C, 6]
+                acc = acc + sums[:, :5]
+                emitted = emitted + sums[:, 5].astype(jnp.int32)
+                od = (jnp.take(row_sd_ext, end_row)
+                      - jnp.take(row_sd_ext, starts_c))
+                trans = trans * jnp.exp(-od)
+                cursor = cursor + consumed
+                alive = alive & (trans > early_stop_eps) & (emitted < s_max)
+                return cursor, trans, emitted, acc, alive
 
-        init = (jnp.zeros((c,), jnp.int32), jnp.ones((c,), jnp.float32),
-                jnp.zeros((c,), jnp.int32), jnp.zeros((c, 5), jnp.float32),
-                n_segs > 0)
-        _, _, _, acc, _ = jax.lax.while_loop(
-            lambda cr: jnp.any(cr[4] & (cr[0] < n_segs)), one_pass, init)
+            return one_pass
+
+        # demand-driven budget cascade: full -> /4 -> /16. Phase k keeps
+        # running while remaining demand exceeds the NEXT phase's budget;
+        # the final phase drains to zero. Every transition is a traced
+        # comparison — one compiled program, no host syncs.
+        ladder = []
+        for div in (1, 4, 16):
+            bs = -(-max(b_seg // div, 8) // 8) * 8
+            if not ladder or bs < ladder[-1]:
+                ladder.append(bs)
+        carry = (jnp.zeros((c,), jnp.int32), jnp.ones((c,), jnp.float32),
+                 jnp.zeros((c,), jnp.int32), jnp.zeros((c, 5), jnp.float32),
+                 n_segs > 0)
+        for i, bs in enumerate(ladder):
+            nxt = ladder[i + 1] if i + 1 < len(ladder) else 0
+            carry = jax.lax.while_loop(
+                lambda cr, nxt=nxt: (
+                    jnp.any(cr[4] & (cr[0] < n_segs))
+                    & (rem_total_of(cr[0], cr[2], cr[4]) > nxt)),
+                make_pass(bs), carry)
+        _, _, _, acc, _ = carry
         opacity = acc[:, 3:4]
         depth = acc[:, 4:5] / jnp.maximum(opacity,
                                           jnp.float32(1.1920929e-07))
@@ -1104,7 +1166,12 @@ def make_eval_render_fn(field, cfg: SceneConfig, s_max: Optional[int] = None,
     s_max = s_max or cfg.eval_s_max
     if impl == "auto":
         impl = "seg" if (budgeted and cfg.cone_angle == 0.0) else "lattice"
-    if impl == "seg" and budgeted:
+    if impl == "seg":
+        if not budgeted:
+            raise ValueError(
+                "impl='seg' requires budgeted=True (the segment marcher is "
+                "a multi-pass budgeted loop); use impl='lattice' for the "
+                "single-pass dense reference path")
         return make_eval_render_fn_seg(
             field, cfg, s_max=s_max, budget_per_ray=budget_per_ray,
             early_stop_eps=early_stop_eps)

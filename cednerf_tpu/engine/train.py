@@ -490,12 +490,22 @@ class Trainer:
     def _steady_margin(self) -> int:
         """Lattice slots advance_t_min's coarse probe can fire EARLY by:
         the probe is occupied within (dilate+1)*pool fine cells (diagonal)
-        of real occupancy, plus one 8-slot segment quantum."""
+        of real occupancy, plus one skip-segment quantum. Derived from the
+        probe's own named geometry constants (ops/occupancy.py) and the
+        per-axis fine-cell diagonal, so a change to advance_t_min's defaults
+        cannot silently under-cover the shrink margin (ADVICE r4)."""
+        from ..ops.occupancy import (SKIP_DILATE, SKIP_POOL_DEFAULT,
+                                     SKIP_SEG_DEFAULT)
+
         cfg = self.cfg
         a = cfg.aabb
-        cell = min(a[3] - a[0], a[4] - a[1], a[5] - a[2]) / cfg.grid_resolution
-        reach = 2 * 4 * cell * 1.7320508  # (dilate+1)=2, pool=4, diagonal
-        return int(np.ceil(reach / cfg.render_step_size)) + 8
+        cells = [(a[3] - a[0]) / cfg.grid_resolution,
+                 (a[4] - a[1]) / cfg.grid_resolution,
+                 (a[5] - a[2]) / cfg.grid_resolution]
+        diag = float(np.sqrt(sum(c * c for c in cells)))
+        reach = (SKIP_DILATE + 1) * SKIP_POOL_DEFAULT * diag
+        return (int(np.ceil(reach / cfg.render_step_size))
+                + SKIP_SEG_DEFAULT)
 
     def _step_fn(self):
         if "step" not in self._step_fns:

@@ -266,7 +266,18 @@ def pooled_binaries(state: OccGridState, pool: int = 4,
     segment length <= dilate * coarse cell size (+ a fine cell diagonal),
     every sample position of a coarse-occupied segment maps into the dilated
     neighborhood. This is the TPU replacement for nerfacc's per-level DDA
-    traversal (SURVEY N3): a superset test, never dropping a valid sample.
+    traversal (SURVEY N3).
+
+    Superset scope (ADVICE r4): for SINGLE-level grids a probe never drops a
+    valid sample. With nested levels the guarantee is per-probed-level only:
+    finer levels are OR'd into coarser ones, but the dilation window clips at
+    each level's AABB (reduce_window SAME pads False), so occupancy that
+    exists only in the COARSER level just outside a finer level's boundary is
+    not visible to a probe that lands inside the finer level. Consumers must
+    probe multiple points per segment on multi-level grids so at least one
+    probe lands in each level the segment crosses (the seg eval renderer
+    probes 3 fracs; equality-tested against the dense path in
+    tests/test_eval_renderer.py).
     """
     L, res = state.binaries.shape[0], state.resolution
     assert res % pool == 0 and res % 4 == 0
@@ -378,6 +389,14 @@ def march_t_lattice(
     return t0, dt, t_max
 
 
+# advance_t_min's probe geometry — named so callers that must bound the
+# probe's conservative earliness (engine/train.py _steady_margin) derive
+# their margins from the same constants instead of re-hardcoding them
+SKIP_SEG_DEFAULT = 8
+SKIP_POOL_DEFAULT = 4
+SKIP_DILATE = 1
+
+
 def advance_t_min(
     state: OccGridState,
     origins,
@@ -388,8 +407,8 @@ def advance_t_min(
     render_step_size: float,
     march_steps: int,
     probe_steps: int,
-    skip_seg: int = 8,
-    pool: int = 4,
+    skip_seg: int = SKIP_SEG_DEFAULT,
+    pool: int = SKIP_POOL_DEFAULT,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Advance each ray's lattice start past leading empty space.
 
@@ -414,7 +433,7 @@ def advance_t_min(
     step = render_step_size
     ms = -(-probe_steps // skip_seg)
     seg_len = skip_seg * step
-    coarse = pooled_binaries(state, pool=pool, dilate=1)
+    coarse = pooled_binaries(state, pool=pool, dilate=SKIP_DILATE)
     s = jnp.arange(ms, dtype=jnp.float32)
     t_lo = t_min[:, None] + s[None, :] * seg_len                  # [R, Ms]
     t_hi = jnp.maximum(jnp.minimum(t_lo + seg_len, t_max[:, None]), t_lo)
