@@ -186,7 +186,7 @@ def main():
           flush=True)
 
     sys.path.insert(0, "tests")
-    from synthetic_scene import BallCloudScene
+    from synthetic_scene import BallCloudScene, BallScene
 
     from cednerf_tpu.engine.cli import build_field
     from cednerf_tpu.engine.config import ModelFlags, dnerf_config, dynerf_config
@@ -208,8 +208,14 @@ def main():
               file=sys.stderr, flush=True)
     field = build_field(cfg, flags)
     # dense dynamic scene: ~50% of rays hit geometry, tens of samples/ray in
-    # steady state — comparable per-ray load to the reference's real captures
-    scene = BallCloudScene(n_cams=8, wh=128, n_times=8)
+    # steady state — comparable per-ray load to the reference's real captures.
+    # CEDNERF_BENCH_SCENE=ball swaps in the opaque short-span BallScene (the
+    # shrink-from-full steady-march A/B arm — VERDICT r4 weak #5: the bench
+    # scene's occupied span leaves no shrink to take, so the empty-space-skip
+    # lever needs a short-span scene to show its value).
+    scene_name = os.environ.get("CEDNERF_BENCH_SCENE", "cloud")
+    scene_cls = BallScene if scene_name == "ball" else BallCloudScene
+    scene = scene_cls(n_cams=8, wh=128, n_times=8)
 
     if args.shape == "dynerf":
         # real-dataset shape: batches assembled on the host (like the DyNeRF
@@ -229,38 +235,38 @@ def main():
               f"cf={m.get('complete_frac', 1.0):.3f}",
               file=sys.stderr, flush=True)
 
-    def run_ttq(threshold_db: float = 30.0):
+    def run_ttq(ttq_field, ttq_cfg, ttq_scene, label,
+                threshold_db: float = 30.0, steps_per_call: int = 32):
         # seconds-to-quality from a cold start, compile included — the
         # number a user actually waits for (reference contract shape,
-        # run_hyper.sh:3,6,9,12). vs_baseline uses the reference's 425 s
-        # to its final PSNR on vrig_3dprinter as the scale anchor
-        # (different scene; the anchor makes the unit comparable across
-        # rounds, not across codebases). The adaptive shape machinery
-        # (bucket + steady-march auto-repair) stays LIVE — this measures
-        # the production trainer, quality-complete by construction.
-        ttq_tr = Trainer(field, cfg, flags, scene, seed=0,
-                         device_sampler=scene.device_sampler(),
-                         steps_per_call=32)
+        # run_hyper.sh:3,6,9,12). The adaptive shape machinery (bucket +
+        # steady-march auto-repair) stays LIVE — this measures the
+        # production trainer, quality-complete by construction.
+        ttq_tr = Trainer(ttq_field, ttq_cfg, flags, ttq_scene, seed=0,
+                         device_sampler=ttq_scene.device_sampler(),
+                         steps_per_call=steps_per_call)
         t0 = time.perf_counter()
         t_hit = None
+        m = {}
         while ttq_tr.step < 20000:
             m = ttq_tr.run_chunk()
             if float(m["psnr"]) >= threshold_db:
                 t_hit = time.perf_counter() - t0
                 break
             if ttq_tr.step % 512 == 0:
-                print(f"# ttq step={ttq_tr.step} psnr={float(m['psnr']):.2f} "
+                print(f"# ttq[{label}] step={ttq_tr.step} "
+                      f"psnr={float(m['psnr']):.2f} "
                       f"cf={m.get('complete_frac', 1.0):.3f}",
                       file=sys.stderr, flush=True)
         if t_hit is not None:
-            print(f"# ttq: {threshold_db:g} dB at {t_hit:.1f}s "
+            print(f"# ttq[{label}]: {threshold_db:g} dB at {t_hit:.1f}s "
                   f"(step {ttq_tr.step}, cf="
                   f"{m.get('complete_frac', 1.0):.3f})",
                   file=sys.stderr, flush=True)
         return t_hit, ttq_tr.step
 
     if args.metric == "time_to_30db":
-        t_hit, _ = run_ttq()
+        t_hit, _ = run_ttq(field, cfg, scene, "bench")
         if t_hit is None:
             print(json.dumps({"metric": "time_to_30db", "value": -1,
                               "unit": "s", "vs_baseline": 0.0}))
@@ -274,12 +280,28 @@ def main():
     # Default run = BOTH contracts in one JSON line (VERDICT r3 next #3):
     # seconds-to-quality first (cold start, compile included — it also
     # pre-warms every train program for the throughput phase), then the
-    # settled samples/s windows. CEDNERF_BENCH_SKIP_TTQ=1 skips phase 1
-    # for quick A/B arms.
+    # settled samples/s windows. CEDNERF_BENCH_SKIP_TTQ=1 skips the TTQ
+    # phases for quick A/B arms.
+    #
+    # TWO TTQ rows (VERDICT r4 weak #3 — provenance): the bench-default
+    # row trains the BENCH scene (volumetric BallCloudScene) at the bench
+    # overrides, while the repo's TTQ number of record (docs/QUALITY.md,
+    # tools/validate_synthetic --ttq_db) trains the opaque BALL scene at
+    # the preset defaults — a ~2.5x easier target (surface scene, 30 dB at
+    # step ~256 vs ~1024 on the cloud). Both are emitted so neither can be
+    # mistaken for the other.
     ttq_s = ttq_step = None
+    ttq_ball_s = ttq_ball_step = None
     if (args.shape == "dnerf"
             and os.environ.get("CEDNERF_BENCH_SKIP_TTQ") != "1"):
-        ttq_s, ttq_step = run_ttq()
+        ttq_s, ttq_step = run_ttq(field, cfg, scene, "bench")
+        from synthetic_scene import BallScene
+
+        record_cfg = dnerf_config(max_steps=100000)
+        record_field = build_field(record_cfg, flags)
+        ttq_ball_s, ttq_ball_step = run_ttq(
+            record_field, record_cfg, BallScene(n_cams=8, wh=128, n_times=8),
+            "ball_record", steps_per_call=16)
 
     # Warmup: occupancy carving (warmup-loop program), then chunks of bucket
     # + steady-lattice adaptation. The ADAPTATIONS STAY LIVE through the
@@ -348,10 +370,21 @@ def main():
     }
     if ttq_s is not None:
         # the reference's own published contract shape: seconds-to-PSNR
-        # (run_hyper.sh). Anchor: 425.14 s (vrig_3dprinter train time).
+        # (run_hyper.sh). `ttq_anchor_ratio` divides the reference's 425.14 s
+        # vrig_3dprinter train time by ours as a SCALE ANCHOR ONLY — the
+        # scenes differ (procedural vs real capture), so it is a
+        # round-over-round unit, NOT a cross-codebase speedup claim.
         out["time_to_30db_s"] = round(ttq_s, 1)
         out["ttq_step"] = int(ttq_step)
-        out["ttq_vs_baseline"] = round(425.14 / ttq_s, 3)
+        out["ttq_scene"] = "ballcloud@bench_defaults"
+        out["ttq_anchor_ratio"] = round(425.14 / ttq_s, 3)
+    if ttq_ball_s is not None:
+        # the configuration of the repo's TTQ number of record
+        # (docs/QUALITY.md r3s25: ball scene, preset defaults, 16-step
+        # chunks) — directly comparable to that table
+        out["time_to_30db_ball_s"] = round(ttq_ball_s, 1)
+        out["ttq_ball_step"] = int(ttq_ball_step)
+        out["ttq_ball_scene"] = "ball@preset_defaults"
     print(json.dumps(out))
 
 

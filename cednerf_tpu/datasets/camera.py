@@ -172,6 +172,66 @@ class Camera:
         )
         return np.stack([xx, yy], axis=-1) + 0.5
 
+    @property
+    def optical_axis(self) -> np.ndarray:
+        """World-space forward axis: the camera-frame z row of the
+        world->cam rotation (hyper_cam.py optical_axis property)."""
+        return self.orientation[2, :]
+
+    def pixels_to_points(self, pixels: np.ndarray,
+                         depth: np.ndarray) -> np.ndarray:
+        """Back-project pixels at z-depths to world points
+        (hyper_cam.py:254-260). `depth` is distance along the optical axis
+        (the renderer's depth channel), so each unit ray is stretched by
+        depth / cos(angle to the axis)."""
+        rays = self.pixels_to_rays(np.asarray(pixels, np.float32))
+        along_axis = rays @ self.optical_axis
+        return (rays * (np.asarray(depth, np.float32)
+                        / along_axis)[..., None] + self.position)
+
+    def look_at(self, position: np.ndarray, look_at: np.ndarray,
+                up: np.ndarray, eps: float = 1e-6) -> "Camera":
+        """Copy of this camera placed at `position`, looking at `look_at`,
+        with `up`'s projection parallel to the image y-axis
+        (hyper_cam.py:327-370). Intrinsics are preserved."""
+        position = np.asarray(position, np.float64)
+        fwd = np.asarray(look_at, np.float64) - position
+        n = np.linalg.norm(fwd)
+        if n < eps:
+            raise ValueError(
+                "camera position and look-at point are too close")
+        fwd = fwd / n
+        right = np.cross(fwd, np.asarray(up, np.float64))
+        n = np.linalg.norm(right)
+        if n < eps:
+            raise ValueError("up-vector is parallel to the optical axis")
+        right = right / n
+        # rows of the world->cam rotation: right (image +x), down-ish
+        # (image +y = fwd x right), forward — a right-handed frame
+        orientation = np.stack([right, np.cross(fwd, right), fwd])
+        out = dataclasses.replace(self)
+        out.position = position.astype(np.float32)
+        out.orientation = orientation.astype(np.float32)
+        return out
+
+    def crop_image_domain(self, left: int = 0, right: int = 0, top: int = 0,
+                          bottom: int = 0) -> "Camera":
+        """Copy with the image domain shrunk (or, negative, grown) at each
+        boundary; the principal point shifts so the principal axis is
+        preserved and the focal length is unchanged (hyper_cam.py:372-400).
+        """
+        lt = np.array([left, top])
+        rb = np.array([right, bottom])
+        new_size = self.image_size - lt - rb
+        if np.any(new_size <= 0):
+            raise ValueError(
+                "crop would make the image domain non-positive: "
+                f"{new_size.tolist()}")
+        out = dataclasses.replace(self)
+        out.image_size = new_size.astype(np.int64)
+        out.principal_point = (self.principal_point - lt).astype(np.float32)
+        return out
+
     def scale(self, factor: float) -> "Camera":
         """Rescaled camera (intrinsics + image size) (hyper_cam.py:306-324)."""
         assert factor > 0

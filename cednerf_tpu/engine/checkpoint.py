@@ -131,3 +131,88 @@ def load_checkpoint_full(path: str, state) -> tuple:
                                opt_state=restored["opt_state"], occ=occ)
     return (new_state, int(restored["step"]), restored["key"],
             int(restored["bucket"]), int(restored["steady"]))
+
+
+def _prop_ckpt_tree(state, occ, step: int, key=None):
+    if key is None:
+        key = np.zeros(2, np.uint32)
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(step),
+        "key": np.asarray(key, np.uint32),
+    }
+    if occ is not None:
+        tree["occ"] = {"occs": occ.occs, "binaries": occ.binaries,
+                       "aabbs": occ.aabbs}
+    return tree
+
+
+def save_prop_checkpoint(path: str, state, occ, step: int, key=None):
+    """Checkpoint the proposal path (engine/train_prop.py PropTrainState).
+
+    The reference's prop clone keeps the occ script's save/--load_model/
+    --render_video contract (train_prop_real.py:213,459,547); this is its
+    state surface: joint {field, props} params + optimizer, the eval-culling
+    occupancy grid (PropTrainer.occ — None when occ_eval is off), step, RNG.
+    """
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _prop_ckpt_tree(state, occ, step, key), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "param_shapes.json"), "w") as f:
+        json.dump(_shape_meta(state.params), f)
+
+
+def load_prop_checkpoint(path: str, state, occ):
+    """Restore a prop checkpoint into the structure of (state, occ).
+
+    Returns (state, occ, step, key). `occ` is the template OccGridState to
+    restore into (None skips the occ subtree — e.g. occ_eval=False runs).
+    Raises ValueError naming mismatched parameter shapes like
+    load_checkpoint_full."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from ..ops.occupancy import OccGridState
+
+    path = os.path.abspath(path)
+    meta_path = os.path.join(path, "param_shapes.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            saved = json.load(f)
+        here = _shape_meta(state.params)
+        bad = sorted(
+            f"{k}: checkpoint {saved.get(k)} vs model {here.get(k)}"
+            for k in set(saved) | set(here)
+            if saved.get(k) != here.get(k)
+        )
+        if bad:
+            raise ValueError(
+                "prop checkpoint/model parameter shapes differ (different "
+                "--hash_levels/--hash_features or proposal config?):\n  "
+                + "\n  ".join(bad)
+            )
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        restored = ckptr.restore(path, _prop_ckpt_tree(state, occ, 0))
+    except Exception:
+        if occ is None:
+            raise
+        # checkpoint written without an occ grid (occ_eval=False run)
+        restored = dict(ckptr.restore(path, _prop_ckpt_tree(state, None, 0)))
+    new_occ = occ
+    if "occ" in restored and occ is not None:
+        new_occ = OccGridState(
+            occs=restored["occ"]["occs"],
+            binaries=restored["occ"]["binaries"],
+            aabbs=restored["occ"]["aabbs"],
+        )
+    new_state = state._replace(params=restored["params"],
+                               opt_state=restored["opt_state"])
+    return new_state, new_occ, int(restored["step"]), restored["key"]

@@ -244,6 +244,79 @@ def test_camera_project_ray_consistency():
     np.testing.assert_allclose(back, pixels, atol=1e-3)
 
 
+def test_camera_pixels_to_points_roundtrip():
+    """pixels -> points at known z-depth -> project returns the pixels, and
+    the points sit at that depth along the optical axis
+    (hyper_cam.py:254-260)."""
+    cam = Camera(
+        orientation=np.eye(3), position=np.array([0.5, -0.25, 1.0]),
+        focal_length=120.0, principal_point=np.array([32.0, 32.0]),
+        image_size=np.array([64, 64]),
+        radial_distortion=np.array([0.02, 0.001, 0.0]),
+        tangential_distortion=np.array([0.001, 0.0005]),
+    )
+    pixels = np.array([[8.5, 12.0], [32.5, 32.5], [55.0, 48.0]], np.float32)
+    depth = np.array([2.0, 3.5, 1.25], np.float32)
+    pts = cam.pixels_to_points(pixels, depth)
+    np.testing.assert_allclose(cam.project(pts), pixels, atol=1e-3)
+    z = (pts - cam.position) @ cam.optical_axis
+    np.testing.assert_allclose(z, depth, rtol=1e-5)
+
+
+def test_camera_look_at():
+    """look_at produces a right-handed world->cam frame whose forward axis
+    points at the target and whose image-y aligns with -up
+    (hyper_cam.py:327-370)."""
+    cam = Camera(
+        orientation=np.eye(3), position=np.zeros(3), focal_length=100.0,
+        principal_point=np.array([32.0, 32.0]), image_size=np.array([64, 64]),
+    )
+    pos = np.array([1.0, 2.0, -3.0])
+    target = np.array([0.0, 0.0, 1.0])
+    up = np.array([0.0, 1.0, 0.0])
+    c2 = cam.look_at(pos, target, up)
+    fwd = (target - pos) / np.linalg.norm(target - pos)
+    np.testing.assert_allclose(c2.optical_axis, fwd, atol=1e-6)
+    # orthonormal, right-handed, det +1
+    np.testing.assert_allclose(c2.orientation @ c2.orientation.T, np.eye(3),
+                               atol=1e-6)
+    assert np.linalg.det(c2.orientation) > 0.99
+    # the target projects to the principal point; intrinsics preserved
+    np.testing.assert_allclose(c2.project(target[None]),
+                               [[32.0, 32.0]], atol=1e-3)
+    assert c2.focal_length == cam.focal_length
+    # moving along +up in the world moves UP in the image (y decreases:
+    # image y is down)
+    p_up = cam.position * 0 + target + 0.1 * up
+    assert c2.project(p_up[None])[0, 1] < 32.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cam.look_at(pos, pos, up)
+    with _pytest.raises(ValueError):
+        cam.look_at(pos, target, fwd)
+
+
+def test_camera_crop_image_domain():
+    """Cropping shifts the principal point so rays through surviving pixels
+    are unchanged (hyper_cam.py:372-400)."""
+    cam = Camera(
+        orientation=np.eye(3), position=np.zeros(3), focal_length=90.0,
+        principal_point=np.array([30.0, 34.0]), image_size=np.array([64, 60]),
+        radial_distortion=np.array([0.01, 0.0, 0.0]),
+    )
+    cr = cam.crop_image_domain(left=5, right=3, top=7, bottom=2)
+    assert cr.image_size.tolist() == [64 - 8, 60 - 9]
+    # same world ray through the shifted pixel coordinates
+    pix = np.array([[20.0, 25.0]], np.float32)
+    np.testing.assert_allclose(
+        cam.pixels_to_rays(pix), cr.pixels_to_rays(pix - [5, 7]), atol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cam.crop_image_domain(left=64)
+
+
 def test_dynerf_loader(tmp_path):
     from cednerf_tpu.datasets.dynerf import DyNeRFDataset
 

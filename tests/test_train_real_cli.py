@@ -144,10 +144,27 @@ def test_train_prop_real_cli_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, str(REPO / "train_prop_real.py"),
          "--data_root", root, "--scene", "lego", "--max_steps", "16",
-         "--num_rays", "64", "-te", "-d"],
+         "--num_rays", "64", "--model_path", str(tmp_path / "prop_ckpt"),
+         "-te", "-d"],
         cwd=workdir, env=env, timeout=900,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     out = proc.stdout.decode()
     assert proc.returncode == 0, out[-4000:]
     assert re.search(r"evaluation: psnr_avg=([\d.]+)", out), out[-4000:]
     assert (workdir / "rgb_test.png").exists()
+    # reference contract (train_prop_real.py:213,459,547): checkpoint saved
+    # at end, restorable with --load_model, spiral video from the restore
+    assert (tmp_path / "prop_ckpt").exists()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "train_prop_real.py"),
+         "--data_root", root, "--scene", "lego", "--load_model",
+         "--render_video", "--model_path", str(tmp_path / "prop_ckpt"),
+         "-te", "-d"],
+        cwd=workdir, env=env, timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    out = proc.stdout.decode()
+    assert proc.returncode == 0, out[-4000:]
+    assert re.search(r"loaded prop checkpoint at step \d+", out), out[-2000:]
+    for stem in ["rgb_render", "depth_render"]:
+        assert ((workdir / f"{stem}.mp4").exists()
+                or (workdir / f"{stem}_0000.png").exists()), stem

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--anneal_steps", type=int, default=0,
                     help="override the proposal anneal schedule (0 = keep "
                          "the 1000-step default)")
+    ap.add_argument("--steps_per_call", type=int, default=16,
+                    help="scan length per dispatch — the first-chunk "
+                         "load/stage floor scales with the scanned program "
+                         "(r4: ~200 s cache-warm at 16; this arm measures "
+                         "the k ladder)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -92,6 +97,7 @@ def main():
     ttq = TTQTracker([float(t) for t in args.ttq_db.split(",") if t])
     t0 = time.perf_counter()
     history = []
+    first_chunk_s = None
 
     if args.host:
         key = jax.random.PRNGKey(0)
@@ -118,10 +124,14 @@ def main():
     else:
         trainer = PropTrainer(field, props, cfg, flags, pcfg,
                               scene.device_sampler(), n_rays=args.rays,
-                              seed=0, steps_per_call=16)
+                              seed=0, steps_per_call=args.steps_per_call)
         m = {}
         while trainer.step < args.steps:
             m = trainer.run_chunk()
+            if first_chunk_s is None:
+                first_chunk_s = time.perf_counter() - t0
+                print(f"# first chunk ({trainer.steps_per_call} steps) in "
+                      f"{first_chunk_s:.1f}s", flush=True)
             ttq.update(trainer.step, m["psnr"])
             if args.debug or trainer.step % 256 < trainer.steps_per_call:
                 history.append((trainer.step, m["psnr"]))
@@ -178,6 +188,8 @@ def main():
         "train_view_psnr": round(train_view_psnr, 2),
         "eval_psnr": round(eval_psnr, 2),
         "eval_psnr_raw": round(eval_psnr_raw, 2),
+        "steps_per_call": args.steps_per_call,
+        "first_chunk_s": round(first_chunk_s or 0.0, 1),
     }
     if ttq.thresholds:
         result.update(ttq.result())
