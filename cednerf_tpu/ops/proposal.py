@@ -20,6 +20,7 @@ Everything is fixed-shape [n_rays, n_samples] — no occupancy grid and no
 ragged packing, so this path is fully jit-friendly as-is.
 """
 
+import os
 from typing import Callable, List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -27,6 +28,14 @@ import jax.numpy as jnp
 
 from ..utils.math import exclusive_cumsum
 from .render import render_weights_from_density
+
+# searchsorted lowering knob (program-size experiment, round 5): the prop
+# loop's compiled TPU executable is ~53x the occ loop's (29 MB vs 0.55 MB)
+# and its load/stage through the tunnel is the ~200 s first-chunk floor
+# (docs/QUALITY.md r4). "scan" is jnp's default binary search (while loop);
+# "compare_all" lowers to one dense compare+reduce — more FLOPs (N*M
+# compares, trivial at these shapes) but far less code.
+_SEARCH_METHOD = os.environ.get("CEDNERF_PROP_SEARCH", "scan")
 
 
 def s_to_t(s, near, far, sampling_type: str = "lindisp"):
@@ -51,12 +60,16 @@ def uniform_edges(n_rays: int, n_samples: int, key=None):
     edges = jnp.linspace(0.0, 1.0, n_samples + 1)
     edges = jnp.broadcast_to(edges, (n_rays, n_samples + 1))
     if key is not None:
-        # jitter interior edges within their half-cells, keeping monotonicity
+        # jitter interior edges within their half-cells: edge i moves inside
+        # [e_i - delta/2, e_i + delta/2], and adjacent windows touch without
+        # overlapping, so the jittered sequence is monotone BY CONSTRUCTION
+        # — no sort needed (a [R, N+1] sort compiles to a large unrolled
+        # network on TPU; three of them were part of the prop program's
+        # 29 MB executable bloat, round-5 program diet)
         delta = 1.0 / n_samples
         u = jax.random.uniform(key, (n_rays, n_samples + 1), minval=-0.5, maxval=0.5)
         u = u.at[:, 0].set(0.0).at[:, -1].set(0.0)
         edges = jnp.clip(edges + u * delta, 0.0, 1.0)
-        edges = jnp.sort(edges, axis=-1)
     return edges
 
 
@@ -83,15 +96,16 @@ def sample_from_weights(edges, weights, n_new: int, key=None,
     u = jnp.linspace(0.0, 1.0, n_new + 1)
     u = jnp.broadcast_to(u, (r, n_new + 1))
     if key is not None:
+        # same half-cell jitter as uniform_edges: monotone by construction
         du = 1.0 / n_new
         jitter = jax.random.uniform(key, (r, n_new + 1), minval=-0.5, maxval=0.5)
         jitter = jitter.at[:, 0].set(0.0).at[:, -1].set(0.0)
         u = jnp.clip(u + jitter * du, 0.0, 1.0)
-        u = jnp.sort(u, axis=-1)
 
     # invert the cdf: bin index + linear interp inside the bin
     idx = jnp.clip(
-        jax.vmap(jnp.searchsorted, (0, 0))(cdf, u) - 1, 0, n - 1
+        jax.vmap(lambda c, q: jnp.searchsorted(c, q, method=_SEARCH_METHOD),
+                 (0, 0))(cdf, u) - 1, 0, n - 1
     )  # [R, n_new+1]
     cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
     cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
@@ -99,8 +113,11 @@ def sample_from_weights(edges, weights, n_new: int, key=None,
     e_hi = jnp.take_along_axis(edges, idx + 1, axis=-1)
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-10)
     frac = jnp.clip((u - cdf_lo) / denom, 0.0, 1.0)
-    new_edges = e_lo + frac * (e_hi - e_lo)
-    return jnp.sort(new_edges, axis=-1)
+    # monotone u through a monotone CDF inverse -> new_edges is already
+    # ordered (within a bin frac rises with u; across bins e_lo jumps to the
+    # next bin's start); the defensive sort was a no-op that cost a
+    # DIFFERENTIATED sorting network in the compiled program
+    return e_lo + frac * (e_hi - e_lo)
 
 
 class PropSamples(NamedTuple):
@@ -167,11 +184,15 @@ def _outer_measure(t_env, w_env, t_query):
     )  # [R, N+1]
     # index of the last env edge <= query edge (for lo) / >= (for hi)
     idx_lo = jnp.clip(
-        jax.vmap(lambda e, q: jnp.searchsorted(e, q, side="right"))(t_env, t_query[:, :-1]) - 1,
+        jax.vmap(lambda e, q: jnp.searchsorted(
+            e, q, side="right", method=_SEARCH_METHOD))(
+                t_env, t_query[:, :-1]) - 1,
         0, w_env.shape[-1],
     )
     idx_hi = jnp.clip(
-        jax.vmap(lambda e, q: jnp.searchsorted(e, q, side="left"))(t_env, t_query[:, 1:]),
+        jax.vmap(lambda e, q: jnp.searchsorted(
+            e, q, side="left", method=_SEARCH_METHOD))(
+                t_env, t_query[:, 1:]),
         0, w_env.shape[-1],
     )
     w_outer = jnp.take_along_axis(cw, idx_hi, axis=-1) - jnp.take_along_axis(cw, idx_lo, axis=-1)

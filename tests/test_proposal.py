@@ -47,6 +47,23 @@ def test_uniform_edges_monotone():
     np.testing.assert_allclose(e[:, -1], 1.0)
 
 
+def test_resampled_edges_monotone_without_sort():
+    """sample_from_weights' output is ordered BY CONSTRUCTION (monotone u
+    through a monotone CDF inverse) — the round-5 program diet removed the
+    defensive sorts from the prop sampler, so this invariant must hold for
+    jittered draws over adversarial (spiky/zero-bin) weight profiles."""
+    rng = jax.random.PRNGKey(7)
+    for i in range(4):
+        k1, k2, k3, rng = jax.random.split(rng, 4)
+        edges = uniform_edges(8, 32, k1)
+        w = jax.random.uniform(k2, (8, 32)) ** 8  # spiky
+        w = w.at[:, ::3].set(0.0)                 # plus exact-zero bins
+        new = np.asarray(sample_from_weights(edges, w, 16, key=k3))
+        assert (np.diff(new, axis=-1) >= 0).all(), i
+        e = np.asarray(edges)
+        assert (new >= e[:, :1] - 1e-6).all() and (new <= e[:, -1:] + 1e-6).all()
+
+
 def test_resampling_concentrates_where_weights_are():
     """All weight in bin [0.5, 0.625) -> nearly all new edges in it."""
     edges = jnp.broadcast_to(jnp.linspace(0, 1, 9), (2, 9))
