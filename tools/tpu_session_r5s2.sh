@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-5 session 2: shrink-from-full silicon A/B (VERDICT r5 #6), fresh
+# trace at the promoted defaults (#3), prop first-chunk floor arms
+# (sort-free + compare_all program variants), warm bench preview.
+cd /root/repo || exit 1
+R=results/r5s2
+mkdir -p $R
+
+echo "=== session r5s2 start $(date)" | tee $R/session.log
+
+# --- prop floor: warm re-run of the sort-free program (k=16), then the
+# compare_all searchsorted variant; cache file sizes tell the program diet
+for arm in default compare_all; do
+  ENVV=""
+  [ "$arm" = compare_all ] && ENVV="CEDNERF_PROP_SEARCH=compare_all"
+  timeout 1800 env $ENVV python tools/validate_prop.py --steps 64 \
+    --rays 8192 --steps_per_call 16 > $R/prop_floor_$arm.log 2>&1
+  echo "prop_floor_$arm rc=$? $(date)" | tee -a $R/session.log
+  timeout 1800 env $ENVV python tools/validate_prop.py --steps 64 \
+    --rays 8192 --steps_per_call 16 > $R/prop_floor_${arm}_warm.log 2>&1
+  echo "prop_floor_${arm}_warm rc=$? $(date)" | tee -a $R/session.log
+done
+ls -laS .jax_cache | head -6 > $R/cache_sizes.txt
+
+# --- prop fog-suppressor arm: opacity loss (-o) ---
+timeout 2700 python tools/validate_prop.py --steps 1500 --rays 8192 -o \
+  --out $R/prop_opacity > $R/prop_opacity.log 2>&1
+echo "prop_opacity rc=$? $(date)" | tee -a $R/session.log
+
+# --- shrink-from-full A/B on the short-span ball scene ---
+timeout 2400 env CEDNERF_BENCH_SCENE=ball CEDNERF_BENCH_SKIP_TTQ=1 \
+  python bench.py > $R/bench_ball_shrink.log 2>&1
+echo "bench_ball_shrink rc=$? $(date)" | tee -a $R/session.log
+timeout 2400 env CEDNERF_BENCH_SCENE=ball CEDNERF_BENCH_SKIP_TTQ=1 \
+  CEDNERF_BENCH_CFG='{"target_sample_batch_size": 1048576, "assembly_impl": "cumsum", "row_layout": "cell", "steady_march_steps": 1024, "compact_impl": "rayfold", "fine_table_rows": 65536}' \
+  python bench.py > $R/bench_ball_pinned_full.log 2>&1
+echo "bench_ball_pinned_full rc=$? $(date)" | tee -a $R/session.log
+
+# --- fresh trace at the promoted defaults (throughput target list) ---
+timeout 2400 python tools/profile_trace.py --out $R/trace --top 48 \
+  > $R/trace.log 2>&1
+echo "trace rc=$? $(date)" | tee -a $R/session.log
+
+echo "=== session r5s2 done $(date)" | tee -a $R/session.log

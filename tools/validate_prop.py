@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--anneal_steps", type=int, default=0,
                     help="override the proposal anneal schedule (0 = keep "
                          "the 1000-step default)")
+    ap.add_argument("-o", "--use_opacity_loss", action="store_true",
+                    help="add the reference's opacity loss (-o) — a fog "
+                         "suppressor arm for the prop path's novel-view "
+                         "floater damage")
     ap.add_argument("--steps_per_call", type=int, default=16,
                     help="scan length per dispatch — the first-chunk "
                          "load/stage floor scales with the scanned program "
@@ -75,6 +79,7 @@ def main():
     flags = ModelFlags(
         use_div_offsets=True, use_feat_predict=True, use_time_embedding=True,
         use_time_attenuation=True, distortion_loss=True, acc_entropy_loss=True,
+        use_opacity_loss=args.use_opacity_loss,
     )
     cfg = dnerf_config(max_steps=args.steps)
     field = build_field(cfg, flags)
