@@ -30,6 +30,12 @@ for arm in default compare_all; do
 done
 ls -laS .jax_cache | head -6 > $R/cache_sizes.txt
 
+# --- prop program-size bisect (compile-only; TPU backend sizes) ---
+timeout 3600 python tools/prop_program_bisect.py \
+  --variants full,noresample,noprop_loss,plainfield,noskip,nosched,norender_aux \
+  > $R/prop_bisect.log 2>&1
+echo "prop_bisect rc=$? $(date)" | tee -a $R/session.log
+
 # --- prop fog-suppressor arm: opacity loss (-o) ---
 timeout 2700 python tools/validate_prop.py --steps 1500 --rays 8192 -o \
   --out $R/prop_opacity > $R/prop_opacity.log 2>&1
