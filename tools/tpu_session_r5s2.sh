@@ -50,6 +50,18 @@ timeout 2400 env CEDNERF_BENCH_SCENE=ball CEDNERF_BENCH_SKIP_TTQ=1 \
   python bench.py > $R/bench_ball_pinned_full.log 2>&1
 echo "bench_ball_pinned_full rc=$? $(date)" | tee -a $R/session.log
 
+# --- eval: clean (uncontended) cascade rungs + 64k-chunk variant (the
+# r5s1 ladder ran against the 20k texture arm; its flat ~3 s floor needs a
+# clean read, and doubling the chunk halves the per-chunk fixed costs) ---
+timeout 2700 python tools/profile_eval2.py --scene ball --wh 800 \
+  --warm_steps 1000 --ladder 256:64,64:32,16:8 \
+  > $R/eval4_ball_clean.log 2>&1
+echo "eval4_ball_clean rc=$? $(date)" | tee -a $R/session.log
+timeout 2700 python tools/profile_eval2.py --scene ball --wh 800 \
+  --warm_steps 1000 --chunk 65536 --ladder 256:64,64:32,16:8 \
+  > $R/eval4_ball_c64k.log 2>&1
+echo "eval4_ball_c64k rc=$? $(date)" | tee -a $R/session.log
+
 # --- fresh trace at the promoted defaults (throughput target list) ---
 timeout 2400 python tools/profile_trace.py --out $R/trace --top 48 \
   > $R/trace.log 2>&1
