@@ -8,13 +8,6 @@ mkdir -p $R
 
 echo "=== session r5s2 start $(date)" | tee $R/session.log
 
-# --- prop anneal durability: r5s1 found anneal_steps=3000 lifts 1.5k
-# novel-view eval 22.3 -> 31.6; does it hold through 4k steps? The
-# never-completing anneal (8000 >> max_steps) keeps the resampling
-# uniform-biased for the whole run.
-timeout 3600 python tools/validate_prop.py --steps 4000 --rays 8192 \
-  --anneal_steps 8000 --out $R/prop_anneal8k_4k > $R/prop_anneal8k_4k.log 2>&1
-echo "prop_anneal8k_4k rc=$? $(date)" | tee -a $R/session.log
 
 # --- prop floor: warm re-run of the sort-free program (k=16), then the
 # compare_all searchsorted variant; cache file sizes tell the program diet
@@ -30,16 +23,7 @@ for arm in default compare_all; do
 done
 ls -laS .jax_cache | head -6 > $R/cache_sizes.txt
 
-# --- prop program-size bisect (compile-only; TPU backend sizes) ---
-timeout 3600 python tools/prop_program_bisect.py \
-  --variants full,noresample,noprop_loss,plainfield,noskip,nosched,norender_aux \
-  > $R/prop_bisect.log 2>&1
-echo "prop_bisect rc=$? $(date)" | tee -a $R/session.log
 
-# --- prop fog-suppressor arm: opacity loss (-o) ---
-timeout 2700 python tools/validate_prop.py --steps 1500 --rays 8192 -o \
-  --out $R/prop_opacity > $R/prop_opacity.log 2>&1
-echo "prop_opacity rc=$? $(date)" | tee -a $R/session.log
 
 # --- shrink-from-full A/B on the short-span ball scene ---
 timeout 2400 env CEDNERF_BENCH_SCENE=ball CEDNERF_BENCH_SKIP_TTQ=1 \
