@@ -6,7 +6,7 @@ cd /root/repo || exit 1
 R=results/r5s2
 mkdir -p $R
 
-echo "=== session r5s2 start $(date)" | tee $R/session.log
+echo "=== session r5s2b start $(date)" | tee -a $R/session.log
 
 
 # --- prop floor: warm re-run of the sort-free program (k=16), then the
@@ -51,4 +51,4 @@ timeout 2400 python tools/profile_trace.py --out $R/trace --top 48 \
   > $R/trace.log 2>&1
 echo "trace rc=$? $(date)" | tee -a $R/session.log
 
-echo "=== session r5s2 done $(date)" | tee -a $R/session.log
+echo "=== session r5s2b done $(date)" | tee -a $R/session.log
