@@ -51,4 +51,10 @@ timeout 2400 python tools/profile_trace.py --out $R/trace --top 48 \
   > $R/trace.log 2>&1
 echo "trace rc=$? $(date)" | tee -a $R/session.log
 
+# --- full bench preview: the exact artifact path the driver runs at round
+# end (incl. BOTH new TTQ phases) — validates it and warms every program
+timeout 3600 python bench.py > $R/bench_full_preview.log 2>&1
+echo "bench_full_preview rc=$? $(date)" | tee -a $R/session.log
+tail -1 $R/bench_full_preview.log
+
 echo "=== session r5s2b done $(date)" | tee -a $R/session.log
