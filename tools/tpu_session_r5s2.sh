@@ -51,6 +51,14 @@ timeout 2400 python tools/profile_trace.py --out $R/trace --top 48 \
   > $R/trace.log 2>&1
 echo "trace rc=$? $(date)" | tee -a $R/session.log
 
+# --- triplane retry: 131k budget trained fine (46.3 dB @1792) but the
+# eval render OOM'd at the 32768-ray seg chunk (triplane's [N,L,3,4,F]
+# intermediates at 2M-slot passes); retry with a 4096-ray eval chunk
+timeout 3600 python tools/validate_synthetic.py --steps 2000 \
+  --grid_type triplane --budget 131072 --eval_chunk 4096 \
+  --out $R/triplane_131k_v2 > $R/triplane_131k_v2.log 2>&1
+echo "triplane_131k_v2 rc=$? $(date)" | tee -a $R/session.log
+
 # --- full bench preview: the exact artifact path the driver runs at round
 # end (incl. BOTH new TTQ phases) — validates it and warms every program
 timeout 3600 python bench.py > $R/bench_full_preview.log 2>&1

@@ -69,6 +69,11 @@ def main():
                          "when the chip is unavailable — NOT the canonical "
                          "gate; collision/boundary regimes scale down with "
                          "the tables")
+    ap.add_argument("--eval_chunk", type=int, default=0,
+                    help="override the eval chunk (rays) — encoders with "
+                         "wide per-sample intermediates (triplane: [N,L,3,"
+                         "4,F]) OOM at the default 32768-ray seg chunk's "
+                         "2M-slot passes")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -127,6 +132,9 @@ def main():
         cfg = dataclasses.replace(cfg, steady_march_steps=args.steady_march)
     if args.row_layout:
         cfg = dataclasses.replace(cfg, row_layout=args.row_layout)
+    if args.eval_chunk:
+        cfg = dataclasses.replace(cfg, eval_chunk=args.eval_chunk,
+                                  eval_chunk_seg=args.eval_chunk)
     field = build_field(cfg, flags).clone(
         n_levels=args.levels, n_features_per_level=args.features,
         encoder_impl=args.impl)
