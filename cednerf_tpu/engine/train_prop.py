@@ -29,7 +29,8 @@ from .renderer import render_rays
 from .train import make_optimizer
 
 
-def make_prop_optimizer(cfg: SceneConfig, grad_clip: float = 0.0):
+def make_prop_optimizer(cfg: SceneConfig, grad_clip: float = 0.0,
+                        weight_decay: float = 0.0):
     """The prop-path optimizer: Adam under a skip-nonfinite wrapper — the
     reference's AMP GradScaler semantics (train_real.py:412-419 skips steps
     whose scaled grads go inf/nan; SURVEY N9). Without it one bad step
@@ -44,6 +45,14 @@ def make_prop_optimizer(cfg: SceneConfig, grad_clip: float = 0.0):
     inner = make_optimizer(cfg)
     if grad_clip > 0:
         inner = optax.chain(optax.clip_by_global_norm(grad_clip), inner)
+    if weight_decay > 0:
+        # L2 pull toward zero on every parameter (hash tables included):
+        # the prop path's novel-view rot is density drifting UP in cells the
+        # concentrated sampler stops visiting (r5s1/r5s2 arms) — decay pulls
+        # unvisited entries back toward init (density exp(-1) ~= 0.37,
+        # which sits BELOW the occ-grid cull threshold, so eval-time culling
+        # removes what the decay reclaims)
+        inner = optax.chain(optax.add_decayed_weights(weight_decay), inner)
     return optax.apply_if_finite(inner, max_consecutive_errors=1000)
 
 
@@ -59,6 +68,8 @@ class PropConfig:
     anneal_steps: int = 1000
     # global-norm gradient clip (0 = off) — see make_prop_optimizer
     grad_clip: float = 0.0
+    # L2 weight decay toward zero (0 = off) — see make_prop_optimizer
+    weight_decay: float = 0.0
     # pre-activation density cap (models/field.py density_clamp), applied
     # to the radiance field AND the proposal density fields by the prop
     # entry points. DEFAULT ON for the prop path: concentrated resampling
@@ -107,7 +118,8 @@ def create_prop_train_state(field, props, cfg: SceneConfig, key,
         "field": field.init(keys[0], x, t, d, return_internal=True),
         "props": tuple(p.init(k, x) for p, k in zip(props, keys[1:])),
     }
-    tx = make_prop_optimizer(cfg, pcfg.grad_clip if pcfg else 0.0)
+    tx = make_prop_optimizer(cfg, pcfg.grad_clip if pcfg else 0.0,
+                         pcfg.weight_decay if pcfg else 0.0)
     return PropTrainState(params=params, opt_state=tx.init(params))
 
 
@@ -115,7 +127,7 @@ def _make_prop_step_impl(field, props, cfg: SceneConfig, flags: ModelFlags,
                          pcfg: PropConfig):
     """Un-jitted proposal-path step body (shared by the single-step fn and
     the scanned multi-step loop)."""
-    tx = make_prop_optimizer(cfg, pcfg.grad_clip)
+    tx = make_prop_optimizer(cfg, pcfg.grad_clip, pcfg.weight_decay)
     aabb = np.asarray(cfg.aabb, np.float32)
 
     def train_step(state: PropTrainState, batch, key, step):

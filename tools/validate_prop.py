@@ -43,6 +43,10 @@ def main():
                          "finite flags) for divergence diagnosis")
     ap.add_argument("--grad_clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--weight_decay", type=float, default=0.0,
+                    help="L2 weight decay (0 = off) — fog-reclaim arm: "
+                         "pulls unvisited table entries back below the "
+                         "occ cull threshold")
     ap.add_argument("--density_clamp", type=float, default=-1.0,
                     help="pre-activation clamp on the density exp "
                          "(-1 = PropConfig default 20; 0 = off)")
@@ -87,6 +91,7 @@ def main():
     pcfg = PropConfig.for_family("dnerf")
     pcfg = dataclasses.replace(
         pcfg, debug=args.debug, grad_clip=args.grad_clip,
+        weight_decay=args.weight_decay,
         anneal_steps=args.anneal_steps or pcfg.anneal_steps)
     clamp = pcfg.density_clamp if args.density_clamp < 0 else args.density_clamp
     if clamp > 0:
