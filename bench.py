@@ -292,16 +292,20 @@ def main():
     # mistaken for the other.
     ttq_s = ttq_step = None
     ttq_ball_s = ttq_ball_step = None
+    # CEDNERF_BENCH_TTQ_DB overrides the threshold (validation/warm runs
+    # only — the driver's artifact uses the default 30)
+    ttq_db = float(os.environ.get("CEDNERF_BENCH_TTQ_DB", "30"))
     if (args.shape == "dnerf"
             and os.environ.get("CEDNERF_BENCH_SKIP_TTQ") != "1"):
-        ttq_s, ttq_step = run_ttq(field, cfg, scene, "bench")
+        ttq_s, ttq_step = run_ttq(field, cfg, scene, "bench",
+                                  threshold_db=ttq_db)
         from synthetic_scene import BallScene
 
         record_cfg = dnerf_config(max_steps=100000)
         record_field = build_field(record_cfg, flags)
         ttq_ball_s, ttq_ball_step = run_ttq(
             record_field, record_cfg, BallScene(n_cams=8, wh=128, n_times=8),
-            "ball_record", steps_per_call=16)
+            "ball_record", threshold_db=ttq_db, steps_per_call=16)
 
     # Warmup: occupancy carving (warmup-loop program), then chunks of bucket
     # + steady-lattice adaptation. The ADAPTATIONS STAY LIVE through the

@@ -11,7 +11,7 @@ echo "=== session r5s2b start $(date)" | tee -a $R/session.log
 
 # --- prop floor: warm re-run of the sort-free program (k=16), then the
 # compare_all searchsorted variant; cache file sizes tell the program diet
-for arm in default compare_all; do
+for arm in compare_all; do
   ENVV=""
   [ "$arm" = compare_all ] && ENVV="CEDNERF_PROP_SEARCH=compare_all"
   timeout 1800 env $ENVV python tools/validate_prop.py --steps 64 \
@@ -61,7 +61,7 @@ echo "triplane_131k_v2 rc=$? $(date)" | tee -a $R/session.log
 
 # --- full bench preview: the exact artifact path the driver runs at round
 # end (incl. BOTH new TTQ phases) — validates it and warms every program
-timeout 3600 python bench.py > $R/bench_full_preview.log 2>&1
+timeout 3600 env CEDNERF_BENCH_TTQ_DB=10 python bench.py > $R/bench_full_preview.log 2>&1
 echo "bench_full_preview rc=$? $(date)" | tee -a $R/session.log
 tail -1 $R/bench_full_preview.log
 
