@@ -29,13 +29,16 @@ import jax.numpy as jnp
 from ..utils.math import exclusive_cumsum
 from .render import render_weights_from_density
 
-# searchsorted lowering knob (program-size experiment, round 5): the prop
-# loop's compiled TPU executable is ~53x the occ loop's (29 MB vs 0.55 MB)
-# and its load/stage through the tunnel is the ~200 s first-chunk floor
-# (docs/QUALITY.md r4). "scan" is jnp's default binary search (while loop);
-# "compare_all" lowers to one dense compare+reduce — more FLOPs (N*M
-# compares, trivial at these shapes) but far less code.
-_SEARCH_METHOD = os.environ.get("CEDNERF_PROP_SEARCH", "scan")
+# searchsorted lowering knob (round-5 floor attack): the prop loop's
+# compiled TPU executable is ~53x the occ loop's (29 MB vs 0.55 MB) and its
+# load/stage through the tunnel is the first-chunk floor (docs/QUALITY.md).
+# "scan" is jnp's default binary search (while loops); "compare_all" lowers
+# to one dense compare+reduce — more FLOPs (N*M compares, trivial at these
+# shapes) but far less code. MEASURED on v5e (r5s2 prop_floor arms, 8192
+# rays x 128 bins): compare_all cuts the cache-WARM first chunk 268.7 s ->
+# 166.1 s AND the steady chunk 6.9 -> 4.7 s (the scan's sequential while
+# iterations were also the slower RUN) — promoted to the default.
+_SEARCH_METHOD = os.environ.get("CEDNERF_PROP_SEARCH", "compare_all")
 
 
 def s_to_t(s, near, far, sampling_type: str = "lindisp"):
